@@ -1,0 +1,179 @@
+"""The DLRM model: bottom MLP + embedding lookups + interaction + top MLP.
+
+Capability parity with ``DLRM_Net`` in
+``/root/reference/dlrm_s_pytorch.py:226-989`` (sequential forward path;
+the parallel/distributed paths live in ``dlrm_yx_tpu/parallel/``).
+
+Pure functional: parameters are a pytree dict
+    {"bot": [(W, b), ...], "top": [(W, b), ...],
+     "emb": [store_per_group, ...], "vw": [per-group v_W or None]}
+and all forwards are jit-compatible with the (hashable) config/table-group
+metadata closed over statically.
+
+The forward is split at the pooled-embedding boundary
+(``forward_from_pooled``) so that training can take gradients w.r.t. the
+pooled vectors and apply *sparse* row updates to the tables — and so the
+distributed path can insert its all-to-all exactly where the reference does
+(dlrm_s_pytorch.py:708).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.ops.embedding import (
+    TableGroup,
+    build_table_groups,
+    init_emb_group,
+    lookup_group,
+)
+from dlrm_yx_tpu.ops.interaction import interact_features
+from dlrm_yx_tpu.ops.losses import predictions_from_logits
+from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
+
+
+def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
+    """Initialize all parameters with one numpy RandomState.
+
+    Draw order (documented seeding scheme; see SURVEY.md §7 "hard parts"):
+    embedding tables in canonical table order, then bottom MLP, then top MLP.
+    Distributions match the reference (emb U(-1/sqrt n, 1/sqrt n), MLP custom
+    Xavier; dlrm_s_pytorch.py:239-244,294-299).
+    """
+    rng = np.random.RandomState(seed)
+    groups = build_table_groups(config.emb_rows, config.emb_dims)
+    # draw per-table in canonical order, then place into group stores
+    per_table = {}
+    for t, (n, d) in enumerate(zip(config.emb_rows, config.emb_dims)):
+        bound = np.sqrt(1.0 / n)
+        per_table[t] = rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
+    emb = []
+    for g in groups:
+        store = np.zeros((g.total_rows, g.dim), dtype=np.float32)
+        for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+            store[off : off + n] = per_table[tid]
+        emb.append(jnp.asarray(store))
+    vw = None
+    if config.weighted_pooling is not None:
+        # v_W = ones(n) per table (dlrm_s_pytorch.py:313-316), stored flat per group
+        vw = []
+        for g in groups:
+            v = np.zeros((g.total_rows,), dtype=np.float32)
+            for n, off in zip(g.rows, g.row_offsets):
+                v[off : off + n] = 1.0
+            vw.append(jnp.asarray(v))
+    params = {
+        "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
+        "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
+        "emb": emb,
+        "vw": vw,
+    }
+    return params
+
+
+def group_indices(group: TableGroup, indices: jax.Array) -> jax.Array:
+    """Select this group's tables from canonical [T, B, L] inputs."""
+    ids = np.array(group.table_ids, dtype=np.int32)
+    if len(ids) == indices.shape[0] and np.all(ids == np.arange(len(ids))):
+        return indices
+    return jnp.take(indices, jnp.asarray(ids), axis=0)
+
+
+def lookup_all_groups(
+    params: Dict,
+    groups: Sequence[TableGroup],
+    indices: jax.Array,
+    weights: jax.Array,
+) -> List[jax.Array]:
+    """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]]."""
+    vw = params.get("vw")
+    out = []
+    for gi, g in enumerate(groups):
+        out.append(
+            lookup_group(
+                params["emb"][gi],
+                g,
+                group_indices(g, indices),
+                group_indices(g, weights),
+                vw[gi] if vw is not None else None,
+            )
+        )
+    return out
+
+
+def assemble_slots(
+    pooled_list: Sequence[jax.Array], groups: Sequence[TableGroup], config: DLRMConfig
+) -> jax.Array:
+    """Reassemble group pooled outputs into [B, S, D] canonical slot order,
+    applying the mixed-dim split trick (dim k*D -> k slots of D;
+    dlrm_s_pytorch.py:579-585)."""
+    d = config.base_dim
+    if len(groups) == 1 and groups[0].dim == d:
+        return jnp.transpose(pooled_list[0], (1, 0, 2))  # [B, T, D]
+    per_table = {}
+    for g, pooled in zip(groups, pooled_list):
+        for i, tid in enumerate(g.table_ids):
+            per_table[tid] = pooled[i]  # [B, dim_g]
+    slots = []
+    for t in range(config.num_tables):
+        y = per_table[t]
+        k = config.slots_per_table[t]
+        if k == 1:
+            slots.append(y)
+        else:
+            slots.extend(jnp.split(y, k, axis=1))
+    return jnp.stack(slots, axis=1)  # [B, S, D]
+
+
+def forward_from_pooled(
+    params: Dict,
+    config: DLRMConfig,
+    groups: Sequence[TableGroup],
+    dense_x: jax.Array,
+    pooled_list: Sequence[jax.Array],
+) -> jax.Array:
+    """bottom MLP + interaction + top MLP from pooled embeddings -> logits.
+
+    XLA is free to schedule the bottom MLP concurrently with whatever
+    produced ``pooled_list`` (e.g. the distributed all-to-all — the overlap
+    the reference hand-codes at dlrm_s_pytorch.py:708-713)."""
+    cdt = jnp.dtype(config.compute_dtype)
+    x = apply_mlp(dense_x, params["bot"], config.sigmoid_bot, cdt)
+    ly = assemble_slots(pooled_list, groups, config)
+    z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+    # the reference puts sigmoid at the last top layer (sigmoid_top); we
+    # return logits and fold the sigmoid into loss/prediction for stability
+    return apply_mlp(
+        z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
+    )
+
+
+def forward_logits(
+    params: Dict,
+    config: DLRMConfig,
+    groups: Sequence[TableGroup],
+    dense_x: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+) -> jax.Array:
+    pooled = lookup_all_groups(params, groups, indices, weights)
+    return forward_from_pooled(params, config, groups, dense_x, pooled)
+
+
+def forward(
+    params: Dict,
+    config: DLRMConfig,
+    groups: Sequence[TableGroup],
+    dense_x: jax.Array,
+    indices: jax.Array,
+    weights: jax.Array,
+) -> jax.Array:
+    """Click probability [B, 1] (sigmoid + loss_threshold clamp), matching the
+    reference forward output (dlrm_s_pytorch.py:722-728)."""
+    z = forward_logits(params, config, groups, dense_x, indices, weights)
+    return predictions_from_logits(z, config.loss_threshold)

@@ -1,0 +1,60 @@
+"""Feature interaction (dot / cat).
+
+Capability parity with ``interact_features`` in
+``/root/reference/dlrm_s_pytorch.py:627-673``:
+  dot: T = concat([x] + slots) -> (B, F, D); Z = T @ T^T; take the strict
+       lower triangle (offset -1; offset 0 when interact_itself); concat
+       with the dense feature x.
+  cat: plain concatenation.
+
+TPU-first notes: the bmm is a batched [F, D] x [D, F] einsum that maps to the
+MXU; the tril extraction is a single static-index gather (indices precomputed
+with numpy at trace time; row-major order identical to torch.tril_indices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def tril_flat_indices(f: int, offset: int) -> np.ndarray:
+    """Flattened indices into a row-major [f, f] matrix selecting the lower
+    triangle with the given diagonal offset, in torch.tril_indices order
+    (row-major: sorted by row, then column)."""
+    li, lj = np.tril_indices(f, k=offset)
+    return (li * f + lj).astype(np.int32)
+
+
+def interact_features(
+    x: jax.Array,
+    ly: jax.Array,
+    op: str = "dot",
+    interact_itself: bool = False,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """x: [B, D] dense feature (bottom MLP output);
+    ly: [B, S, D] pooled embedding slots.
+    Returns [B, ln_top[0]] interaction output."""
+    b, d = x.shape
+    t = jnp.concatenate([x[:, None, :], ly], axis=1)  # [B, F, D]
+    if op == "dot":
+        tc = t.astype(compute_dtype)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if jnp.dtype(compute_dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        z = jnp.einsum(
+            "bfd,bgd->bfg", tc, tc, precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # [B, F, F]
+        f = t.shape[1]
+        offset = 0 if interact_itself else -1
+        flat_idx = tril_flat_indices(f, offset)
+        zflat = z.reshape(b, f * f)[:, flat_idx]
+        return jnp.concatenate([x, zflat], axis=1)
+    elif op == "cat":
+        return t.reshape(b, -1)
+    raise ValueError(f"unknown interaction op {op!r}")

@@ -1,0 +1,130 @@
+"""Optimizers: SGD / Adagrad / RWSAdagrad with sparse row updates.
+
+Capability parity with the reference's optimizer wiring
+(``/root/reference/dlrm_s_pytorch.py:1639-1666``): --optimizer ∈
+{sgd, adagrad, rwsadagrad}; MLP (dense) params get the standard dense update,
+embedding tables get *sparse* per-row updates.
+
+Behavioral contracts mirrored:
+  * torch SGD: p -= lr * g (sparse grads applied without coalescing — sum of
+    duplicate contributions, which plain scatter-add reproduces exactly).
+  * torch Adagrad (eps 1e-10): per-ELEMENT accumulator; sparse path coalesces
+    first, sum += g^2, p -= lr * g / (sqrt(sum_new) + eps).
+  * RWSAdagrad (``/root/reference/optim/rwsadagrad.py:57-122``): sparse grads
+    keep ONE accumulator per row, updated with mean(g^2 over dim 1); dense
+    grads fall back to full Adagrad. Coalescing first is mandatory (the
+    update is non-linear; rwsadagrad.py:98).
+
+TPU-native design: there is no dense [rows, D] gradient anywhere. Updates are
+XLA scatters on coalesced (index, row-grad) pairs — O(touched rows · D)
+memory traffic, the same asymptotics as the fused CUDA optimizers the
+reference links against (table_batched_embeddings_ops, SURVEY.md §2.3).
+Out-of-range sentinel indices are dropped by ``mode='drop'``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_yx_tpu.ops.coalesce import coalesce_rows
+from dlrm_yx_tpu.ops.embedding import TableGroup
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    name: str = "sgd"  # sgd | adagrad | rwsadagrad
+    lr: float = 0.1    # base lr (may be rescaled per step by LRPolicy)
+    eps: float = 1e-10
+
+    def __post_init__(self):
+        if self.name not in ("sgd", "adagrad", "rwsadagrad"):
+            raise ValueError(f"unknown optimizer {self.name!r}")
+
+
+def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -> Dict:
+    """Accumulator pytree. SGD: empty. Adagrad: per-element sums everywhere.
+    RWSAdagrad: per-element sums for dense, per-ROW momenta for tables."""
+    if opt.name == "sgd":
+        return {}
+    dense = {
+        k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
+        for k in ("bot", "top")
+    }
+    if opt.name == "adagrad":
+        emb = [jnp.zeros_like(e) for e in params["emb"]]
+    else:  # rwsadagrad: one accumulator per row
+        emb = [jnp.zeros((e.shape[0],), jnp.float32) for e in params["emb"]]
+    state = {"dense": dense, "emb": emb}
+    if params.get("vw") is not None:
+        state["vw"] = [jnp.zeros_like(v) for v in params["vw"]]
+    return state
+
+
+def dense_update(
+    opt: OptConfig, p: jax.Array, g: jax.Array, acc, lr
+) -> Tuple[jax.Array, jax.Array]:
+    """One dense-parameter update. Returns (new_p, new_acc)."""
+    if opt.name == "sgd":
+        return p - lr * g, acc
+    # adagrad and rwsadagrad-dense are both full Adagrad
+    # (rwsadagrad.py:118-121)
+    acc = acc + g * g
+    return p - lr * g / (jnp.sqrt(acc) + opt.eps), acc
+
+
+def sparse_update(
+    opt: OptConfig,
+    store: jax.Array,
+    acc,
+    flat_idx: jax.Array,
+    flat_g: jax.Array,
+    lr,
+    sentinel: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse row update on a flat table store.
+
+    store: [R, D]; flat_idx: [K] row ids (duplicates allowed, sentinel = R
+    for padding); flat_g: [K, D] gradient contributions.
+    """
+    if opt.name == "sgd":
+        # linear update: scatter-add handles duplicates exactly
+        return store.at[flat_idx].add(-lr * flat_g, mode="drop"), acc
+
+    uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
+    if opt.name == "adagrad":
+        acc = acc.at[uniq].add(sg * sg, mode="drop")
+        denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
+        return store.at[uniq].add(-lr * sg / denom, mode="drop"), acc
+
+    # rwsadagrad: row momentum += mean(g^2 over dim); update rows by
+    # g / (sqrt(momentum_new) + eps)  (rwsadagrad.py:108-115)
+    mom_inc = jnp.mean(sg * sg, axis=-1)
+    acc = acc.at[uniq].add(mom_inc, mode="drop")
+    denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
+    return store.at[uniq].add(-lr * sg / denom[:, None], mode="drop"), acc
+
+
+def sparse_update_1d(
+    opt: OptConfig,
+    vec: jax.Array,
+    acc,
+    flat_idx: jax.Array,
+    flat_g: jax.Array,
+    lr,
+    sentinel: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sparse update for 1-D per-row parameters (learned pooling weights v_W).
+
+    Equivalent to the dense update the reference applies to v_W_l Parameters
+    (entries with zero grad are no-ops in Adagrad-family updates, so the
+    sparse form matches the dense semantics exactly)."""
+    if opt.name == "sgd":
+        return vec.at[flat_idx].add(-lr * flat_g, mode="drop"), acc
+    uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
+    acc = acc.at[uniq].add(sg * sg, mode="drop")
+    denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
+    return vec.at[uniq].add(-lr * sg / denom, mode="drop"), acc

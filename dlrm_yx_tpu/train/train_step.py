@@ -1,0 +1,162 @@
+"""Single-device jitted training / eval steps.
+
+The reference's hot loop (``/root/reference/dlrm_s_pytorch.py:1848-1934``) is
+forward → loss → backward → optimizer.step() with sparse embedding grads.
+Here the whole iteration is ONE jitted function:
+
+  * pooled embedding lookups run first (outside the dense autodiff),
+  * ``jax.value_and_grad`` differentiates the dense graph (MLPs +
+    interaction) w.r.t. dense params AND the pooled vectors,
+  * the pooled cotangent is expanded to per-row gradients and applied as
+    sparse scatter updates (optim/optimizer.py) — embedding tables never see
+    a dense gradient, mirroring sparse=True EmbeddingBag + RWSAdagrad.
+
+The multi-device hybrid-parallel step lives in parallel/hybrid.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.models.dlrm import (
+    forward_from_pooled,
+    group_indices,
+    lookup_all_groups,
+)
+from dlrm_yx_tpu.ops.embedding import build_table_groups, flat_row_grads, vw_row_grads
+from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
+from dlrm_yx_tpu.optim.optimizer import (
+    OptConfig,
+    dense_update,
+    sparse_update,
+    sparse_update_1d,
+)
+
+
+def apply_gradients(
+    config: DLRMConfig,
+    opt: OptConfig,
+    groups,
+    params: Dict,
+    opt_state: Dict,
+    batch,
+    g_dense: Dict,
+    g_pooled,
+    lr,
+):
+    """Shared between the single-device and hybrid-parallel steps: dense
+    updates + sparse per-group row updates from the pooled cotangent."""
+    new_params = dict(params)
+    new_state = dict(opt_state)
+
+    # dense (MLP) updates
+    for k in ("bot", "top"):
+        new_layers, new_acc = [], []
+        for i, (w, b) in enumerate(params[k]):
+            gw, gb = g_dense[k][i]
+            acc_w, acc_b = (
+                opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+            )
+            w2, acc_w2 = dense_update(opt, w, gw, acc_w, lr)
+            b2, acc_b2 = dense_update(opt, b, gb, acc_b, lr)
+            new_layers.append((w2, b2))
+            new_acc.append((acc_w2, acc_b2))
+        new_params[k] = new_layers
+        if opt.name != "sgd":
+            new_state.setdefault("dense", {})
+            new_state["dense"] = dict(new_state["dense"])
+            new_state["dense"][k] = new_acc
+
+    # sparse embedding updates
+    new_emb, new_emb_acc = [], []
+    new_vw = list(params["vw"]) if params.get("vw") is not None else None
+    new_vw_acc = (
+        list(opt_state["vw"]) if opt.name != "sgd" and "vw" in opt_state else None
+    )
+    for gi, g in enumerate(groups):
+        idx_g = group_indices(g, batch.indices)
+        w_g = group_indices(g, batch.weights)
+        vw_g = params["vw"][gi] if params.get("vw") is not None else None
+        fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled[gi], vw_g)
+        acc = opt_state["emb"][gi] if opt.name != "sgd" else None
+        store2, acc2 = sparse_update(
+            opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows
+        )
+        new_emb.append(store2)
+        new_emb_acc.append(acc2)
+        if config.weighted_pooling == "learned":
+            vidx, vg = vw_row_grads(g, params["emb"][gi], idx_g, w_g, g_pooled[gi])
+            vacc = opt_state["vw"][gi] if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, params["vw"][gi], vacc, vidx, vg, lr, g.total_rows
+            )
+            new_vw[gi] = vw2
+            if new_vw_acc is not None:
+                new_vw_acc[gi] = vacc2
+    new_params["emb"] = new_emb
+    if new_vw is not None:
+        new_params["vw"] = new_vw
+    if opt.name != "sgd":
+        new_state["emb"] = new_emb_acc
+        if new_vw_acc is not None:
+            new_state["vw"] = new_vw_acc
+    return new_params, new_state
+
+
+def make_train_step(
+    config: DLRMConfig,
+    opt: OptConfig,
+    lr_fn: Optional[Callable] = None,
+    jit: bool = True,
+):
+    """Returns step(params, opt_state, batch, iteration) ->
+    (params, opt_state, loss)."""
+    groups = build_table_groups(config.emb_rows, config.emb_dims)
+
+    def step(params, opt_state, batch, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        pooled = lookup_all_groups(params, groups, batch.indices, batch.weights)
+
+        def dense_loss(dense_params, pooled_in):
+            p2 = dict(params)
+            p2["bot"], p2["top"] = dense_params["bot"], dense_params["top"]
+            logits = forward_from_pooled(p2, config, groups, batch.dense, pooled_in)
+            return loss_fn(
+                logits, batch.labels, config.loss, config.loss_threshold,
+                config.wbce_weights,
+            )
+
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        loss, (g_dense, g_pooled) = jax.value_and_grad(dense_loss, argnums=(0, 1))(
+            dense_params, pooled
+        )
+        new_params, new_state = apply_gradients(
+            config, opt, groups, params, opt_state, batch, g_dense, g_pooled, lr
+        )
+        return new_params, new_state, loss
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return step
+
+
+def make_eval_step(config: DLRMConfig, jit: bool = True):
+    """Returns eval(params, batch) -> (predictions [B,1], loss) — the
+    inference path of dlrm_s_pytorch.py:1018-1162."""
+    groups = build_table_groups(config.emb_rows, config.emb_dims)
+
+    def eval_step(params, batch):
+        pooled = lookup_all_groups(params, groups, batch.indices, batch.weights)
+        logits = forward_from_pooled(params, config, groups, batch.dense, pooled)
+        preds = predictions_from_logits(logits, config.loss_threshold)
+        loss = loss_fn(
+            logits, batch.labels, config.loss, config.loss_threshold,
+            config.wbce_weights,
+        )
+        return preds, loss
+
+    return jax.jit(eval_step) if jit else eval_step

@@ -1,0 +1,9 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §4/§7)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
