@@ -1,0 +1,105 @@
+"""Headline benchmark: DLRM training throughput on one TPU chip.
+
+Config: Criteo Terabyte MLPerf architecture (128-dim embeddings, 26 tables,
+bot 13-512-256-128, top 1024-1024-512-256-1, dot interaction), mini-batch
+2048, L=1 (Criteo pooling), rows capped at 1M so the model fits one chip
+(--max-ind-range style hashing; the reference applies the same hashing at
+10M/40M). Measures the full jitted training step (forward + backward +
+RWSAdagrad sparse row updates), reports examples/sec.
+
+Methodology: steps are enqueued in chains of N1 and N2 iterations with a
+blocking fetch only at the end of each chain; per-step time is the slope
+(t2 - t1) / (N2 - N1). This cancels the fixed dispatch/tunnel round-trip
+latency, which on this environment's remote TPU relay is ~30 ms and would
+otherwise swamp the measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to BASELINE_EXAMPLES_PER_SEC — this framework's
+first recorded round-1 number (the reference repo commits no throughput
+numbers, SURVEY.md §6) — so >1.0 means faster than round 1.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# round-1 recorded value, one TPU v5e chip (fp32 compute, XLA lookup path)
+BASELINE_EXAMPLES_PER_SEC = 248_000.0
+
+MAX_IND_RANGE = 1_000_000
+BATCH = 2048
+L = 1
+N1, N2 = 20, 120
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.models.dlrm import init_dlrm
+    from dlrm_yx_tpu.ops.embedding import build_table_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.train_step import make_train_step
+
+    cfg = DLRMConfig.terabyte_mlperf(max_ind_range=MAX_IND_RANGE)
+    params = init_dlrm(cfg, seed=123)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    opt = OptConfig(name="rwsadagrad", lr=0.01)
+    opt_state0 = init_opt_state(opt, params, groups)
+    step = make_train_step(cfg, opt)
+
+    t = cfg.num_tables
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        return Batch(
+            dense=jnp.asarray(r.rand(BATCH, cfg.ln_bot[0]).astype(np.float32)),
+            indices=jnp.asarray(
+                np.stack(
+                    [r.randint(0, n, size=(BATCH, L)) for n in cfg.emb_rows]
+                ).astype(np.int32)
+            ),
+            weights=jnp.ones((t, BATCH, L), jnp.float32),
+            labels=jnp.asarray((r.rand(BATCH, 1) > 0.5).astype(np.float32)),
+        )
+
+    batches = [make_batch(i) for i in range(4)]
+
+    def run_chain(n):
+        # fresh copies: the step donates its params/opt_state arguments
+        p = jax.tree.map(jnp.array, params)
+        s = jax.tree.map(jnp.array, opt_state0)
+        p, s, loss = step(p, s, batches[0], 0)
+        _ = float(loss)  # compile + warm, blocking
+        t0 = time.perf_counter()
+        for i in range(n):
+            p, s, loss = step(p, s, batches[i % len(batches)], i)
+        _ = float(loss)  # blocking fetch drains the chain
+        return time.perf_counter() - t0
+
+    t1 = run_chain(N1)
+    t2 = run_chain(N2)
+    per_step = (t2 - t1) / (N2 - N1)
+    examples_per_sec = BATCH / per_step
+    vs = (
+        examples_per_sec / BASELINE_EXAMPLES_PER_SEC
+        if BASELINE_EXAMPLES_PER_SEC
+        else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_sec_per_chip",
+                "value": round(examples_per_sec, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(vs, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

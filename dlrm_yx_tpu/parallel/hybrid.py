@@ -1,0 +1,337 @@
+"""Hybrid-parallel DLRM training over a ("data", "model") TPU mesh.
+
+This is the TPU-native rebuild of the reference's two multi-device paths
+(``/root/reference/dlrm_s_pytorch.py``):
+  * ``distributed_forward`` (:686-730): each rank holds whole tables, does
+    full-batch lookups for its tables, exchanges pooled vectors with an async
+    NCCL all-to-all overlapped with the bottom MLP, then runs
+    interaction/top-MLP on its batch shard; dense grads allreduced (DDP),
+    sparse grads reverse-all-to-all'd and applied locally.
+  * ``parallel_forward``'s butterfly shuffle (:938-958) — the same exchange
+    expressed with scatters.
+
+TPU-native shape of the same contract (SURVEY.md §2.4 "hybrid-parallel
+semantics to preserve"):
+  * one ``shard_map`` over mesh axes ("data", "model");
+  * tables sharded over "model" as one flat [n_model, r_pad, dim] array
+    (whole-table placement from parallel/sharders.py);
+  * batch sharded over "data" for lookups and over ("data","model") for the
+    dense towers;
+  * the exchange is ``jax.lax.all_to_all`` — XLA schedules it
+    asynchronously, giving the a2a/bottom-MLP overlap the reference
+    hand-codes with Req/Wait autograd pairs (extend_distributed.py:405-508);
+  * the backward all-to-all comes out of jax.vjp automatically;
+  * dense grads are ``psum`` over both axes (what DDP's allreduce does);
+  * sparse row grads are all-gathered over "data" only (table shards are
+    replicated across "data") and applied as local scatter updates — no
+    cross-"model" embedding sync, exactly the reference contract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.models.dlrm import init_dlrm
+from dlrm_yx_tpu.ops.interaction import interact_features
+from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
+from dlrm_yx_tpu.ops.mlp import apply_mlp
+from dlrm_yx_tpu.optim.optimizer import OptConfig, dense_update, sparse_update
+from dlrm_yx_tpu.parallel.plan import ShardingPlan, build_sharded_emb
+
+
+# ---------------------------------------------------------------------------
+# parameter / batch placement
+# ---------------------------------------------------------------------------
+
+def init_hybrid_params(
+    config: DLRMConfig, plan: ShardingPlan, seed: int = 123
+) -> Dict:
+    """Same draws as init_dlrm (identical dense params and per-table weights)
+    but with tables assembled into the [n_model, r_pad, dim] sharded layout."""
+    rng = np.random.RandomState(seed)
+    per_table = []
+    for n, d in zip(config.emb_rows, config.emb_dims):
+        bound = np.sqrt(1.0 / n)
+        per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
+    emb = build_sharded_emb(plan, config, per_table)
+    from dlrm_yx_tpu.ops.mlp import init_mlp
+
+    return {
+        "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
+        "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
+        "emb": jnp.asarray(emb),
+        "vw": None,
+    }
+
+
+def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
+    if opt.name == "sgd":
+        return {}
+    dense = {
+        k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
+        for k in ("bot", "top")
+    }
+    emb = params["emb"]
+    if opt.name == "adagrad":
+        acc = jnp.zeros_like(emb)
+    else:  # rwsadagrad: per-row
+        acc = jnp.zeros(emb.shape[:2], jnp.float32)
+    return {"dense": dense, "emb": acc}
+
+
+def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
+    """device_put params/opt_state with their hybrid shardings."""
+    p = dict(params)
+    p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    for k in ("bot", "top"):
+        p[k] = [
+            tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+            for layer in params[k]
+        ]
+    s = dict(opt_state)
+    if opt.name != "sgd":
+        s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        s["dense"] = {
+            k: [
+                tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+                for layer in opt_state["dense"][k]
+            ]
+            for k in ("bot", "top")
+        }
+    return p, s
+
+
+def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """Place a device-major-arranged batch on the mesh: dense/labels over
+    the flattened batch axis, sparse slots over "model" x batch over
+    "data"."""
+    return Batch(
+        dense=jax.device_put(batch.dense, NamedSharding(mesh, P(("data", "model")))),
+        indices=jax.device_put(batch.indices, NamedSharding(mesh, P("model", "data"))),
+        weights=jax.device_put(batch.weights, NamedSharding(mesh, P("model", "data"))),
+        labels=jax.device_put(batch.labels, NamedSharding(mesh, P(("data", "model")))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the sharded step
+# ---------------------------------------------------------------------------
+
+def _local_lookup(store, offs, indices, weights, r_pad, dim):
+    """Per-shard pooled lookup on the flat [r_pad, dim] store.
+    indices/weights: [t_pad, Bd, L]; offs: [t_pad] local row offsets
+    (padding slots point at r_pad → clamped gather, zero weight)."""
+    t, b, l = indices.shape
+    gidx = indices + offs[:, None, None]
+    safe = jnp.minimum(gidx, r_pad - 1)
+    rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, dim)
+    if l == 1:
+        pooled = rows[:, :, 0, :] * weights[:, :, 0][..., None]
+    else:
+        pooled = jnp.einsum("tbl,tbld->tbd", weights, rows)
+    return pooled, gidx
+
+
+def _slots_from_canonical(ly_can, config: DLRMConfig):
+    """[T, b, dim] canonical pooled -> [b, S, D] interaction slots
+    (split trick for dim = k*D)."""
+    t, b, dim = ly_can.shape
+    d = config.base_dim
+    k = dim // d
+    if k == 1:
+        return jnp.transpose(ly_can, (1, 0, 2))
+    ly = ly_can.reshape(t, b, k, d)
+    return jnp.transpose(ly, (1, 0, 2, 3)).reshape(b, t * k, d)
+
+
+def make_hybrid_train_step(
+    config: DLRMConfig,
+    plan: ShardingPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    lr_fn=None,
+    global_batch: Optional[int] = None,
+):
+    """Returns jitted step(params, opt_state, batch, iteration) ->
+    (params, opt_state, loss). ``batch`` must be device-major arranged
+    (parallel.plan.arrange_sparse_inputs) and sharded (shard_batch)."""
+    n_model = plan.n_model
+    offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
+    gather_all = np.asarray(plan.canonical_gather, np.int32)
+
+    def local_step(params, opt_state, batch, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        m = jax.lax.axis_index("model")
+        offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
+        store = params["emb"][0]  # local shard [r_pad, dim]
+        acc = opt_state["emb"][0] if opt.name != "sgd" else None
+
+        pooled, gidx = _local_lookup(
+            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim
+        )
+
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        bsz_global = (
+            batch.labels.shape[0] * n_total if global_batch is None else global_batch
+        )
+
+        def dense_loss(dense_params, pooled_in):
+            # the exchange: model-parallel pooled -> batch-sharded canonical
+            ly_ex = jax.lax.all_to_all(
+                pooled_in, "model", split_axis=1, concat_axis=0, tiled=True
+            )  # [n_model * t_pad, b, dim]
+            ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
+            ly = _slots_from_canonical(ly_can, config)
+            cdt = jnp.dtype(config.compute_dtype)
+            x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
+            z = interact_features(
+                x, ly, config.interaction, config.interact_itself, cdt
+            )
+            logits = apply_mlp(
+                z, dense_params["top"], config.sigmoid_top, cdt,
+                skip_last_activation=True,
+            )
+            local = loss_fn(
+                logits, batch.labels, config.loss, config.loss_threshold,
+                config.wbce_weights,
+            )
+            # local mean * local_count / global_count = global-mean share
+            return local * (batch.labels.shape[0] / bsz_global)
+
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+            dense_loss, argnums=(0, 1)
+        )(dense_params, pooled)
+        loss = jax.lax.psum(loss_share, ("data", "model"))
+        g_dense = jax.lax.psum(g_dense, ("data", "model"))
+
+        # ----- dense updates (replicated) -----
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        for k in ("bot", "top"):
+            new_layers, new_acc = [], []
+            for i, (w, b) in enumerate(params[k]):
+                gw, gb = g_dense[k][i]
+                aw, ab = opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+                w2, aw2 = dense_update(opt, w, gw, aw, lr)
+                b2, ab2 = dense_update(opt, b, gb, ab, lr)
+                new_layers.append((w2, b2))
+                new_acc.append((aw2, ab2))
+            new_params[k] = new_layers
+            if opt.name != "sgd":
+                new_state["dense"] = dict(new_state["dense"])
+                new_state["dense"][k] = new_acc
+
+        # ----- sparse updates: gather full-batch row grads over "data" -----
+        t, bd, l = batch.indices.shape
+        flat_idx = gidx.reshape(t * bd * l)
+        flat_g = (batch.weights[..., None] * g_pooled[:, :, None, :]).reshape(
+            t * bd * l, plan.dim
+        )
+        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
+        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        store2, acc2 = sparse_update(
+            opt, store, acc, flat_idx, flat_g, lr, plan.r_pad
+        )
+        new_params["emb"] = store2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc2[None]
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+        }
+    )
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P("model", "data"),
+        weights=P("model", "data"),
+        labels=P(("data", "model")),
+    )
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
+    """Returns jitted eval(params, batch) -> (preds [B,1], loss) with preds
+    re-assembled across the mesh (the reference's eval all_gather,
+    dlrm_s_pytorch.py:1067-1069 — here just an out_spec)."""
+    n_model = plan.n_model
+    offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
+    gather_all = np.asarray(plan.canonical_gather, np.int32)
+
+    def local_eval(params, batch):
+        m = jax.lax.axis_index("model")
+        offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
+        store = params["emb"][0]
+        pooled, _ = _local_lookup(
+            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim
+        )
+        ly_ex = jax.lax.all_to_all(
+            pooled, "model", split_axis=1, concat_axis=0, tiled=True
+        )
+        ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
+        ly = _slots_from_canonical(ly_can, config)
+        cdt = jnp.dtype(config.compute_dtype)
+        x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
+        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+        logits = apply_mlp(
+            z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
+        )
+        preds = predictions_from_logits(logits, config.loss_threshold)
+        local = loss_fn(
+            logits, batch.labels, config.loss, config.loss_threshold,
+            config.wbce_weights,
+        )
+        loss = jax.lax.pmean(jax.lax.pmean(local, "data"), "model")
+        return preds, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P("model", "data"),
+        weights=P("model", "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(pspecs, bspecs),
+        out_specs=(P(("data", "model")), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,162 @@
+"""Hybrid-parallel placement plan.
+
+Encodes the reference's hybrid layout (SURVEY.md §2.4): embedding tables
+model-parallel over the "model" mesh axis by whole-table placement
+(``sharders``), dense MLPs data-parallel, pooled vectors exchanged with
+all-to-all. All the static bookkeeping — device-major table order, padded
+slab sizes, per-device row offsets, the canonical-order restoring permutation
+(the reference's table-order permutation after its butterfly shuffle,
+``dlrm_s_pytorch.py:948-956``) — lives here as numpy, computed once.
+
+Current scope: homogeneous table dim (all tables share one dim, possibly
+k*D); this covers Kaggle / Terabyte / bench configs. Mixed-dim (MD) models
+run on the single-device or data-parallel path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.parallel.sharders import shard
+
+ROW_ALIGN = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    """All-static layout for one (config, n_model, sharder) choice.
+
+    table_device: canonical table -> model-shard id.
+    t_pad: per-shard table-slot count (max tables on any shard; short shards
+      padded with dummy tables).
+    device_table_order: [n_model * t_pad] table ids in device-major order,
+      -1 = padding slot.
+    canonical_gather: [T] position of canonical table t in device-major order
+      (applied after the all-to-all to restore canonical feature order).
+    row_offsets: [n_model * t_pad] start row of each device-major table slot
+      inside its shard's flat store; padding slots point at r_pad (the
+      sentinel row, dropped by scatter updates).
+    r_pad: rows per shard store (max over shards, aligned).
+    """
+
+    n_model: int
+    table_device: Tuple[int, ...]
+    t_pad: int
+    device_table_order: Tuple[int, ...]
+    canonical_gather: Tuple[int, ...]
+    row_offsets: Tuple[int, ...]
+    r_pad: int
+    dim: int
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.table_device)
+
+
+def make_plan(
+    config: DLRMConfig,
+    n_model: int,
+    alg: str = "greedy",
+    allocation: Optional[Sequence[int]] = None,
+) -> ShardingPlan:
+    dims = set(config.emb_dims)
+    if len(dims) != 1:
+        raise ValueError(
+            "hybrid-parallel plan requires homogeneous table dims; "
+            f"got {sorted(dims)} (use the single-device path for MD models)"
+        )
+    dim = dims.pop()
+    rows = config.emb_rows
+    table_device = shard(rows, n_model, alg, allocation)
+
+    per_dev: List[List[int]] = [[] for _ in range(n_model)]
+    for t, d in enumerate(table_device):
+        per_dev[d].append(t)
+    t_pad = max(len(ts) for ts in per_dev)
+
+    # per-shard flat-store row layout
+    r_pad = 0
+    dev_offsets: List[List[int]] = []
+    for ts in per_dev:
+        offs, cur = [], 0
+        for t in ts:
+            offs.append(cur)
+            cur += _round_up(rows[t], ROW_ALIGN)
+        dev_offsets.append(offs)
+        r_pad = max(r_pad, cur)
+
+    device_table_order: List[int] = []
+    row_offsets: List[int] = []
+    for d in range(n_model):
+        ts, offs = per_dev[d], dev_offsets[d]
+        device_table_order.extend(ts + [-1] * (t_pad - len(ts)))
+        row_offsets.extend(offs + [r_pad] * (t_pad - len(ts)))
+
+    canonical_gather = [0] * len(rows)
+    for pos, t in enumerate(device_table_order):
+        if t >= 0:
+            canonical_gather[t] = pos
+
+    return ShardingPlan(
+        n_model=n_model,
+        table_device=tuple(table_device),
+        t_pad=t_pad,
+        device_table_order=tuple(device_table_order),
+        canonical_gather=tuple(canonical_gather),
+        row_offsets=tuple(row_offsets),
+        r_pad=r_pad,
+        dim=dim,
+    )
+
+
+def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table) -> np.ndarray:
+    """Assemble the [n_model, r_pad, dim] parameter array from per-table
+    weights (dict or list of [rows_t, dim])."""
+    out = np.zeros((plan.n_model, plan.r_pad, plan.dim), dtype=np.float32)
+    for pos, t in enumerate(plan.device_table_order):
+        if t < 0:
+            continue
+        d = pos // plan.t_pad
+        off = plan.row_offsets[pos]
+        w = np.asarray(per_table[t])
+        out[d, off : off + w.shape[0]] = w
+    return out
+
+
+def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb: np.ndarray):
+    """Inverse of build_sharded_emb: per-canonical-table weights (for
+    checkpoint export / tests)."""
+    out = {}
+    for pos, t in enumerate(plan.device_table_order):
+        if t < 0:
+            continue
+        d = pos // plan.t_pad
+        off = plan.row_offsets[pos]
+        out[t] = np.asarray(emb[d, off : off + config.emb_rows[t]])
+    return [out[t] for t in range(plan.num_tables)]
+
+
+def arrange_sparse_inputs(
+    plan: ShardingPlan, indices: np.ndarray, weights: np.ndarray
+):
+    """Reorder canonical [T, B, L] sparse inputs into device-major
+    [n_model * t_pad, B, L] slots (padding slots: index 0, weight 0).
+
+    This is the TPU equivalent of the reference's per-rank input re-layout
+    (``distribute_batched_emb_data``, dlrm_s_pytorch.py:772-824)."""
+    order = np.asarray(plan.device_table_order)
+    _, b, l = indices.shape
+    out_i = np.zeros((len(order), b, l), dtype=indices.dtype)
+    out_w = np.zeros((len(order), b, l), dtype=weights.dtype)
+    valid = order >= 0
+    out_i[valid] = indices[order[valid]]
+    out_w[valid] = weights[order[valid]]
+    return out_i, out_w

@@ -1,9 +1,11 @@
 """Test configuration: run everything on CPU with 8 virtual devices so
-multi-chip sharding is exercised without TPU hardware (SURVEY.md §4/§7)."""
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §4/§7).
 
-import os
+jax.config is used (not env vars) because this environment's sitecustomize
+force-registers a TPU platform plugin regardless of JAX_PLATFORMS.
+"""
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,223 @@
+"""Hybrid-parallel correctness: N-device shard_map training must reproduce
+the single-device path bit-for-bit-ish (the reference's N=1 vs N=2 loss-curve
+comparability contract, SURVEY.md §7 stage 5). Runs on 8 virtual CPU
+devices."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
+from dlrm_yx_tpu.models.dlrm import init_dlrm
+from dlrm_yx_tpu.ops.embedding import build_table_groups
+from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+from dlrm_yx_tpu.parallel.mesh import make_mesh
+from dlrm_yx_tpu.parallel.plan import (
+    arrange_sparse_inputs,
+    build_sharded_emb,
+    extract_tables,
+    make_plan,
+)
+from dlrm_yx_tpu.parallel.sharders import get_splits, shard
+from dlrm_yx_tpu.parallel.hybrid import (
+    init_hybrid_opt_state,
+    init_hybrid_params,
+    make_hybrid_eval_step,
+    make_hybrid_train_step,
+    shard_batch,
+    shard_params,
+)
+from dlrm_yx_tpu.train.train_step import make_train_step
+
+
+# ------------------------------ sharders ------------------------------------
+
+def test_sharder_naive():
+    assert shard([10] * 5, 2, "naive") == [0, 1, 0, 1, 0]
+
+
+def test_sharder_naive_chunk():
+    assert shard([10] * 5, 2, "naive_chunk") == [0, 0, 0, 1, 1]
+    assert get_splits(5, 2) == [3, 2]
+
+
+def test_sharder_greedy_balances_rows():
+    rows = [100, 1, 1, 1, 99, 1]
+    placement = shard(rows, 2, "greedy")
+    load = [0, 0]
+    for r, d in zip(rows, placement):
+        load[d] += r
+    assert abs(load[0] - load[1]) <= 100  # greedy keeps buckets near-even
+    assert placement[0] != placement[4]  # the two big tables split
+
+
+def test_sharder_input():
+    alloc = [1, 0, 1]
+    assert shard([5, 5, 5], 2, "input", allocation=alloc) == alloc
+    with pytest.raises(ValueError):
+        shard([5, 5], 2, "input", allocation=[0, 7])
+
+
+# ------------------------------ plan ----------------------------------------
+
+def make_cfg(t=6, rows=50, dim=4):
+    ln_bot = (4, 8, dim)
+    f = t + 1
+    ln_top = (f * (f - 1) // 2 + dim, 8, 1)
+    return DLRMConfig(
+        emb_rows=tuple(rows + i for i in range(t)), ln_bot=ln_bot, ln_top=ln_top
+    )
+
+
+def test_plan_roundtrip():
+    cfg = make_cfg()
+    plan = make_plan(cfg, n_model=4, alg="naive")
+    rng = np.random.RandomState(0)
+    tables = [rng.randn(n, cfg.base_dim).astype(np.float32) for n in cfg.emb_rows]
+    emb = build_sharded_emb(plan, cfg, tables)
+    back = extract_tables(plan, cfg, emb)
+    for a, b in zip(tables, back):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_arrange_sparse_inputs():
+    cfg = make_cfg(t=3)
+    plan = make_plan(cfg, n_model=2, alg="naive")  # dev0: t0,t2; dev1: t1
+    idx = np.arange(3 * 2 * 1, dtype=np.int32).reshape(3, 2, 1)
+    w = np.ones_like(idx, dtype=np.float32)
+    ai, aw = arrange_sparse_inputs(plan, idx, w)
+    assert ai.shape == (2 * plan.t_pad, 2, 1)
+    order = plan.device_table_order
+    for pos, t in enumerate(order):
+        if t >= 0:
+            np.testing.assert_array_equal(ai[pos], idx[t])
+        else:
+            assert np.all(aw[pos] == 0)
+
+
+# ------------------------------ hybrid vs single-device ----------------------
+
+def _make_batches(cfg, n_batches=3, b=8, l=2, seed=11):
+    dc = RandomDataConfig(
+        emb_rows=cfg.emb_rows, m_den=cfg.ln_bot[0], mini_batch_size=b,
+        num_batches=n_batches, num_indices_per_lookup=l,
+        num_indices_per_lookup_fixed=False, round_targets=True, seed=seed,
+    )
+    return make_random_batches(dc)
+
+
+@pytest.mark.parametrize("mesh_shape,optname", [
+    ((1, 4), "sgd"),
+    ((2, 2), "sgd"),
+    ((2, 4), "rwsadagrad"),
+    ((4, 1), "adagrad"),
+    ((1, 8), "rwsadagrad"),
+])
+def test_hybrid_matches_single_device(mesh_shape, optname):
+    data, model = mesh_shape
+    if data * model > len(jax.devices()):
+        pytest.skip("not enough devices")
+    cfg = make_cfg(t=5, rows=40, dim=4)
+    opt = OptConfig(name=optname, lr=0.1)
+    seed = 77
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=13)
+
+    # single-device run
+    params1 = init_dlrm(cfg, seed=seed)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    step1 = make_train_step(cfg, opt)
+    s1 = init_opt_state(opt, params1, groups)
+    losses1 = []
+    p1 = params1
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    # hybrid run
+    mesh = make_mesh(data, model)
+    plan = make_plan(cfg, n_model=model, alg="greedy")
+    params2 = init_hybrid_params(cfg, plan, seed=seed)
+    s2 = init_hybrid_opt_state(opt, params2)
+    params2, s2 = shard_params(mesh, params2, opt, s2)
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    losses2 = []
+    p2 = params2
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        sb = shard_batch(mesh, Batch(b.dense, ai, aw, b.labels))
+        p2, s2, loss = step2(p2, s2, sb, it)
+        losses2.append(float(loss))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+    # final tables match canonical single-device tables
+    got = extract_tables(plan, cfg, np.asarray(p2["emb"]))
+    per_table = {}
+    for g, store in zip(groups, p1["emb"]):
+        s = np.asarray(store)
+        for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+            per_table[tid] = s[off : off + n]
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(got[t], per_table[t], rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_eval_matches_single():
+    cfg = make_cfg(t=5, rows=40, dim=4)
+    seed = 3
+    batches = _make_batches(cfg, n_batches=1, b=8, l=2, seed=21)
+    params1 = init_dlrm(cfg, seed=seed)
+    from dlrm_yx_tpu.train.train_step import make_eval_step
+
+    ev1 = make_eval_step(cfg)
+    preds1, loss1 = ev1(params1, Batch(*map(jnp.asarray, batches[0])))
+
+    mesh = make_mesh(2, 4)
+    plan = make_plan(cfg, n_model=4, alg="naive")
+    params2 = init_hybrid_params(cfg, plan, seed=seed)
+    params2, _ = shard_params(mesh, params2, OptConfig("sgd", 0.1), {})
+    ev2 = make_hybrid_eval_step(cfg, plan, mesh)
+    b = batches[0]
+    ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+    preds2, loss2 = ev2(params2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)))
+    np.testing.assert_allclose(np.asarray(preds1), np.asarray(preds2), rtol=1e-5, atol=1e-6)
+    assert abs(float(loss1) - float(loss2)) < 1e-6
+
+
+def test_hybrid_wide_table_slots():
+    """Tables with dim k*D (split trick) through the hybrid path."""
+    d = 4
+    t = 3
+    # every table dim 2*D -> 2 slots each, S = 6, F = 7
+    f = t * 2 + 1
+    cfg = DLRMConfig(
+        emb_rows=(30, 20, 10),
+        emb_dims=(8, 8, 8),
+        ln_bot=(4, 8, d),
+        ln_top=(f * (f - 1) // 2 + d, 8, 1),
+    )
+    batches = _make_batches(cfg, n_batches=2, b=8, l=1, seed=5)
+    opt = OptConfig("sgd", 0.1)
+    params1 = init_dlrm(cfg, seed=9)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    step1 = make_train_step(cfg, opt)
+    p1, s1 = params1, init_opt_state(opt, params1, groups)
+    l1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        l1.append(float(loss))
+
+    mesh = make_mesh(1, 2)
+    plan = make_plan(cfg, n_model=2, alg="naive")
+    p2 = init_hybrid_params(cfg, plan, seed=9)
+    p2, s2 = shard_params(mesh, p2, opt, {})
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    l2 = []
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
+        l2.append(float(loss))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
