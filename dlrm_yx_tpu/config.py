@@ -58,6 +58,9 @@ class DLRMConfig:
     wbce_weights: Tuple[float, float] = (1.0, 1.0)
     weighted_pooling: Optional[str] = None
     compute_dtype: str = "float32"
+    # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
+    # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
+    lookup_impl: str = "xla"
 
     def __post_init__(self):
         if not self.emb_dims:

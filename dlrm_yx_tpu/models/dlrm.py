@@ -89,6 +89,7 @@ def lookup_all_groups(
     groups: Sequence[TableGroup],
     indices: jax.Array,
     weights: jax.Array,
+    impl: str = "xla",
 ) -> List[jax.Array]:
     """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]]."""
     vw = params.get("vw")
@@ -101,6 +102,7 @@ def lookup_all_groups(
                 group_indices(g, indices),
                 group_indices(g, weights),
                 vw[gi] if vw is not None else None,
+                impl=impl,
             )
         )
     return out
@@ -161,7 +163,7 @@ def forward_logits(
     indices: jax.Array,
     weights: jax.Array,
 ) -> jax.Array:
-    pooled = lookup_all_groups(params, groups, indices, weights)
+    pooled = lookup_all_groups(params, groups, indices, weights, config.lookup_impl)
     return forward_from_pooled(params, config, groups, dense_x, pooled)
 
 

@@ -114,6 +114,7 @@ def lookup_group(
     indices: jax.Array,
     weights: jax.Array,
     vw: Optional[jax.Array] = None,
+    impl: str = "xla",
 ) -> jax.Array:
     """Pooled-sum lookup.
 
@@ -122,14 +123,21 @@ def lookup_group(
     vw: optional [total_rows] learned/fixed per-row pooling weights
         (the reference's v_W_l, gathered by index:
         dlrm_s_pytorch.py:545-548).
+    impl: 'xla' (native gather — measured fastest on v5e, see
+        ops/pallas_embedding.py) or 'pallas' (fused DMA kernel, requires
+        dim % 128 == 0).
     Returns pooled [T, B, dim] = sum_l w * store[idx].
     """
     t, b, l = indices.shape
     gidx = global_row_ids(group, indices)
-    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(t, b, l, group.dim)
     w = weights
     if vw is not None:
         w = w * jnp.take(vw, gidx.reshape(-1)).reshape(t, b, l)
+    if impl == "pallas":
+        from dlrm_yx_tpu.ops.pallas_embedding import fused_lookup
+
+        return fused_lookup(store, jnp.minimum(gidx, store.shape[0] - 1), w)
+    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(t, b, l, group.dim)
     if l == 1:
         return rows[:, :, 0, :] * w[:, :, 0][..., None]
     return jnp.einsum("tbl,tbld->tbd", w, rows.astype(jnp.float32))

@@ -1,0 +1,162 @@
+"""Fused multi-table embedding lookup as a Pallas TPU kernel.
+
+TPU-native rebuild of the reference's centerpiece CUDA kernel
+(``/root/reference/yx_modfs/table_batched_embeddings_cuda_yx.cu:191-315``):
+one tall ``[sum_rows, D]`` weight matrix, flattened per-table indices, a grid
+over (table, batch-tile), vectorized row loads, sum-pooling in registers.
+
+The TPU mapping:
+  * the weight store stays in HBM (``pl.ANY``); rows are fetched with
+    explicit async DMAs — the TPU analog of the CUDA kernel's ``__ldg``
+    vectorized global loads. HBM DMAs must cover whole 128-lane tiles, so
+    the store is viewed as a physical ``[R * D/128, 128]`` array (a free,
+    layout-preserving reshape when D is a multiple of 128) and each logical
+    row is a ``[D/128, 128]`` slice;
+  * the index block for each (table, batch-tile) grid cell is staged into
+    SMEM by the pipeline (the CUDA kernel's optional shared-memory index
+    staging, ``…cuda_yx.cu:205-214``), because DMA addresses are scalars;
+  * per-sample row DMAs are double-buffered: sample s+1's L rows stream in
+    while sample s is weighted-summed on the VPU;
+  * pooling happens in VMEM — the ``[T, B, L, D]`` gather intermediate the
+    XLA path materializes in HBM never exists, an O(L) traffic saving
+    (L reaches 100+ in the reference's benchmark configs,
+    ``bench/dlrm_s_benchmark.sh:41``).
+
+Supported dims: D % 128 == 0 (Terabyte MLPerf D=128 etc.). Smaller dims take
+the XLA gather path (see ops/embedding.lookup_group) — at L=1 that path is
+already bandwidth-bound and competitive.
+
+Gradients: the training path takes cotangents at the pooled-output boundary
+(see train/train_step.py) and applies sparse row updates, so this kernel
+needs no VJP. ``fused_lookup`` is correspondingly a plain primal function.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def supports_dim(d: int) -> bool:
+    return d % LANES == 0
+
+
+def _pick_block_b(b: int, l: int) -> int:
+    """Batch-tile size: keep the SMEM index block (block_b * l int32) and the
+    double-buffered row scratch small."""
+    target = max(1, 4096 // max(l, 1))
+    bb = min(b, target, 512)
+    while b % bb:
+        bb -= 1
+    return max(bb, 1)
+
+
+def _lookup_kernel(
+    idx_ref, w_ref, store_ref, out_ref, rows, sems, *, l: int, k: int
+):
+    """Grid cell = (table t, batch tile). idx_ref: SMEM [1, BB, L] logical
+    row ids; w_ref: SMEM [1, BB, L] pooling weights (read as scalars);
+    store_ref: HBM [R*k, 128] physical; out_ref: VMEM [1, BB, k, 128];
+    rows: VMEM scratch [2, L, k, 128]; sems: DMA sems [2, L]."""
+    bb = out_ref.shape[1]
+
+    def issue(slot, s):
+        for j in range(l):
+            pltpu.make_async_copy(
+                store_ref.at[pl.ds(idx_ref[0, s, j] * k, k)],
+                rows.at[slot, j],
+                sems.at[slot, j],
+            ).start()
+
+    def wait(slot):
+        for j in range(l):
+            pltpu.make_async_copy(
+                store_ref.at[pl.ds(0, k)],  # shape/bytes only; sem matters
+                rows.at[slot, j],
+                sems.at[slot, j],
+            ).wait()
+
+    issue(0, 0)
+
+    def body(s, _):
+        slot = s % 2
+
+        @pl.when(s + 1 < bb)
+        def _():
+            issue((s + 1) % 2, s + 1)
+
+        wait(slot)
+        # scalar pooling weights from SMEM x [k, 128] row vectors on the VPU
+        acc = rows[slot, 0] * w_ref[0, s, 0]
+        for j in range(1, l):
+            acc = acc + rows[slot, j] * w_ref[0, s, j]
+        out_ref[0, s] = acc
+        return 0
+
+    # Pallas fori_loop supports only unroll=1 or full unroll
+    jax.lax.fori_loop(0, bb, body, 0, unroll=bb if bb <= 32 else 1)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def fused_lookup(
+    store: jax.Array,
+    gidx: jax.Array,
+    weights: jax.Array,
+    block_b: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pooled-sum lookup: out[t, b] = sum_l weights[t,b,l] * store[gidx[t,b,l]].
+
+    store: [R, D] flat table-batched weights (one dim-group), D % 128 == 0.
+    gidx:  [T, B, L] int32 GLOBAL row ids (table offsets applied, clamped to
+           [0, R-1]; padding entries must carry weight 0).
+    weights: [T, B, L] float32.
+    Returns [T, B, D] float32.
+    """
+    t, b, l = gidx.shape
+    r, d = store.shape
+    if not supports_dim(d):
+        raise ValueError(f"fused_lookup requires D % {LANES} == 0, got {d}")
+    k = d // LANES
+    store_phys = store.reshape(r * k, LANES)
+    bb = block_b or _pick_block_b(b, l)
+    grid = (t, pl.cdiv(b, bb))
+
+    kernel = functools.partial(_lookup_kernel, l=l, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bb, l), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, bb, l), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bb, k, LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, b, k, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, l, k, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, l)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * l * d,
+            bytes_accessed=t * b * l * (d * 4 + 8) + t * b * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gidx, weights.astype(jnp.float32), store_phys)
+    return out.reshape(t, b, d)

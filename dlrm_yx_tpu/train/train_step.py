@@ -119,7 +119,9 @@ def make_train_step(
 
     def step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
-        pooled = lookup_all_groups(params, groups, batch.indices, batch.weights)
+        pooled = lookup_all_groups(
+            params, groups, batch.indices, batch.weights, config.lookup_impl
+        )
 
         def dense_loss(dense_params, pooled_in):
             p2 = dict(params)
@@ -150,7 +152,9 @@ def make_eval_step(config: DLRMConfig, jit: bool = True):
     groups = build_table_groups(config.emb_rows, config.emb_dims)
 
     def eval_step(params, batch):
-        pooled = lookup_all_groups(params, groups, batch.indices, batch.weights)
+        pooled = lookup_all_groups(
+            params, groups, batch.indices, batch.weights, config.lookup_impl
+        )
         logits = forward_from_pooled(params, config, groups, batch.dense, pooled)
         preds = predictions_from_logits(logits, config.loss_threshold)
         loss = loss_fn(
