@@ -1,0 +1,280 @@
+"""Data-layer tests: Criteo preprocessing artifacts, bin roundtrip
+(the reference's _test_bin equivalence strategy,
+data_loader_terabyte.py:315-376), trace-driven generation, processed
+dataset, CSR conversion."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dlrm_yx_tpu.data.batch import Batch, csr_to_padded, padded_to_csr
+from dlrm_yx_tpu.data.criteo import (
+    CriteoNpzLoader,
+    parse_raw_tsv,
+    preprocess_criteo,
+    split_kaggle_train_txt,
+    transform_dense,
+)
+from dlrm_yx_tpu.data.criteo_bin import TOT, CriteoBinLoader, npz_to_binary
+from dlrm_yx_tpu.data.processed import (
+    gen_table_configs,
+    generate_processed_data,
+    load_processed,
+    save_processed,
+)
+from dlrm_yx_tpu.data import trace as tr
+from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
+
+
+# --------------------------- raw TSV fixtures --------------------------------
+
+def write_raw_tsv(path, n, rng, n_uniq=50):
+    """Criteo-format TSV: label \\t 13 ints (some empty) \\t 26 hex."""
+    with open(path, "w") as f:
+        for _ in range(n):
+            label = rng.randint(0, 2)
+            dense = [
+                "" if rng.rand() < 0.1 else str(rng.randint(-2, 1000))
+                for _ in range(13)
+            ]
+            cat = [
+                "" if rng.rand() < 0.05 else format(rng.randint(0, n_uniq), "x")
+                for _ in range(26)
+            ]
+            f.write("\t".join([str(label)] + dense + cat) + "\n")
+
+
+def test_parse_raw_tsv_python_vs_native(tmp_path):
+    rng = np.random.RandomState(0)
+    p = str(tmp_path / "day.txt")
+    write_raw_tsv(p, 64, rng)
+    y, xi, xc = parse_raw_tsv(p)  # may use native
+    # force python fallback for comparison
+    from dlrm_yx_tpu.data import criteo as c
+    import dlrm_yx_tpu.data.fastparse as fp
+
+    if fp.available():
+        ys, xis, xcs = fp.parse_raw_tsv(p)
+        np.testing.assert_array_equal(y, ys)
+        np.testing.assert_array_equal(xi, xis)
+        np.testing.assert_array_equal(xc, xcs)
+    assert y.shape == (64,) and xi.shape == (64, 13) and xc.shape == (64, 26)
+    # hex parse check: regenerate first line by hand
+    with open(p) as f:
+        parts = f.readline().rstrip("\n").split("\t")
+    assert y[0] == int(parts[0])
+    want_cat = [int(v, 16) if v else 0 for v in parts[14:]]
+    np.testing.assert_array_equal(xc[0], want_cat)
+
+
+def test_preprocess_pipeline_and_loader(tmp_path):
+    rng = np.random.RandomState(1)
+    days = 3
+    day_files = []
+    for i in range(days):
+        p = str(tmp_path / f"raw_{i}.txt")
+        write_raw_tsv(p, 40 + 8 * i, rng)
+        day_files.append(p)
+    prefix = str(tmp_path / "crit")
+    info = preprocess_criteo(day_files, prefix, randomize="day", seed=7)
+    assert len(info["counts"]) == 26
+    assert list(info["total_per_file"]) == [40, 48, 56]
+
+    # artifacts exist with the reference's key names
+    with np.load(f"{prefix}_day_0.npz") as d:
+        assert set(d.files) >= {"X_int", "X_cat_t", "y"}
+        assert d["X_cat_t"].shape[0] == 26
+    with np.load(f"{prefix}_fea_dict_3.npz") as d:
+        uniq = d["unique"]
+    with np.load(f"{prefix}_day_1_processed.npz") as d:
+        assert d["X_cat"].shape == (48, 26)
+        assert d["X_cat"].max() < info["counts"].max()
+        assert d["X_int"].min() >= 0  # negatives clamped
+    # dense-id remap consistency: id k must map back to unique[k]
+    with np.load(f"{prefix}_day_0.npz") as raw, np.load(
+        f"{prefix}_day_0_processed.npz"
+    ) as proc:
+        raw_col = raw["X_cat_t"][3]
+        ids = proc["X_cat"][:, 3]
+        np.testing.assert_array_equal(uniq[ids], raw_col)
+
+    # loader: train batches from days 0..1, test/val split halves of day 2
+    train = CriteoNpzLoader(prefix, days, batch_size=16, split="train")
+    batches = list(train)
+    assert len(batches) == (40 + 48) // 16
+    b = batches[0]
+    assert b.indices.shape == (26, 16, 1) and b.dense.shape == (16, 13)
+    test = list(CriteoNpzLoader(prefix, days, batch_size=4, split="test", drop_last=False))
+    val = list(CriteoNpzLoader(prefix, days, batch_size=4, split="val", drop_last=False))
+    n_test = sum(len(x.labels) for x in test)
+    n_val = sum(len(x.labels) for x in val)
+    assert n_test == 28 and n_val == 28  # halves of day 2 (56)
+
+
+def test_bin_roundtrip_matches_npz_loader(tmp_path):
+    """npz -> bin -> loader must yield identical batches to the npz loader
+    (the reference's _test_bin)."""
+    rng = np.random.RandomState(2)
+    days = 2
+    day_files = []
+    for i in range(days):
+        p = str(tmp_path / f"raw_{i}.txt")
+        write_raw_tsv(p, 32, rng)
+        day_files.append(p)
+    prefix = str(tmp_path / "crit")
+    preprocess_criteo(day_files, prefix, randomize="none", seed=7)
+
+    bin_path = str(tmp_path / "train.bin")
+    npz_to_binary([f"{prefix}_day_0_reordered.npz"], bin_path, split="train")
+    counts_file = f"{prefix}_fea_count.npz"
+
+    bin_ld = CriteoBinLoader(bin_path, counts_file, batch_size=8)
+    npz_ld = CriteoNpzLoader(prefix, days, batch_size=8, split="train")
+    n = 0
+    for bb, nb in zip(bin_ld, npz_ld):
+        np.testing.assert_allclose(bb.dense, nb.dense, rtol=1e-6)
+        np.testing.assert_array_equal(bb.indices, nb.indices)
+        np.testing.assert_array_equal(bb.labels, nb.labels)
+        n += 1
+    assert n == 4
+
+    # native vs numpy reader agreement
+    from dlrm_yx_tpu.data import fastparse as fp
+
+    if fp.available():
+        ld_np = CriteoBinLoader(bin_path, counts_file, batch_size=8, use_native=False)
+        ld_nat = CriteoBinLoader(bin_path, counts_file, batch_size=8, use_native=True)
+        assert ld_nat._native is not None
+        for i in range(4):
+            a, b = ld_np[i], ld_nat[i]
+            np.testing.assert_allclose(a.dense, b.dense, rtol=1e-6)
+            np.testing.assert_array_equal(a.indices, b.indices)
+            np.testing.assert_array_equal(a.labels, b.labels)
+
+
+def test_bin_test_val_split(tmp_path):
+    rng = np.random.RandomState(3)
+    n = 30
+    y = rng.randint(0, 2, n)
+    xi = rng.randint(0, 100, (n, 13))
+    xc = rng.randint(0, 50, (n, 26))
+    npz = str(tmp_path / "day.npz")
+    np.savez_compressed(npz, y=y, X_int=xi, X_cat=xc)
+    for split, sl in (("test", slice(0, 15)), ("val", slice(15, None))):
+        out = str(tmp_path / f"{split}.bin")
+        npz_to_binary([npz], out, split=split)
+        arr = np.fromfile(out, dtype=np.int32).reshape(-1, TOT)
+        np.testing.assert_array_equal(arr[:, 0], y[sl])
+
+
+def test_kaggle_day_split(tmp_path):
+    rng = np.random.RandomState(4)
+    p = str(tmp_path / "train.txt")
+    write_raw_tsv(p, 23, rng)
+    files = split_kaggle_train_txt(p, days=7)
+    sizes = [sum(1 for _ in open(f)) for f in files]
+    assert sum(sizes) == 23 and max(sizes) - min(sizes) <= 1
+
+
+# --------------------------- trace-driven synthetic ---------------------------
+
+def test_trace_profile_and_regenerate():
+    # simple trace with known stack distances
+    trace = [1, 2, 3, 1, 2, 3, 4, 4]
+    stack, dists, lines = tr.trace_profile(trace)
+    # appendleft => reversed order: last access first
+    assert dists[::-1] == [0, 0, 0, 3, 3, 3, 0, 1]
+    assert sorted(lines) == [1, 2, 3, 4]
+    vals, cum = tr.dist_from_distances(dists)
+    assert vals[0] == 0 and abs(cum[-1] - 1.0) < 1e-9
+    rng = np.random.RandomState(0)
+    regen = tr.trace_generate_lru(list(lines), vals, cum, 20, rng)
+    assert len(regen) == 20
+    assert set(regen) <= set(lines)
+
+
+def test_dist_file_roundtrip(tmp_path):
+    p = str(tmp_path / "dist.log")
+    tr.write_dist_file(p, [1, 2, 3], [0, 1, 3], [0.5, 0.8, 1.0])
+    u, sd, cum = tr.read_dist_file(p)
+    assert u == [1, 2, 3] and sd == [0, 1, 3] and cum == [0.5, 0.8, 1.0]
+
+
+def test_reference_fixture_dist_files():
+    """Our reader must parse the reference's shipped fixtures."""
+    fixture = "/root/reference/input/dist_emb_0.log"
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixtures unavailable")
+    u, sd, cum = tr.read_dist_file(fixture)
+    assert len(sd) == len(cum) and abs(cum[-1] - 1.0) < 1e-9
+
+
+def test_trace_file_roundtrip(tmp_path):
+    p = str(tmp_path / "trace.log")
+    tr.write_trace_file(p, [5, 6, 7])
+    assert tr.read_trace_file(p) == [5, 6, 7]
+    tr.write_trace_file(p, [5, 6, 7], binary=True)
+    assert tr.read_trace_file(p, binary=True) == [5, 6, 7]
+
+
+def test_make_trace_batches(tmp_path):
+    pattern = str(tmp_path / "dist_emb_j.log")
+    rng = np.random.RandomState(5)
+    for j in range(2):
+        trace = rng.randint(0, 20, 200).tolist()
+        _, dists, lines = tr.trace_profile(trace)
+        vals, cum = tr.dist_from_distances(dists)
+        tr.write_dist_file(pattern.replace("j", str(j)), lines, vals, cum)
+    batches = tr.make_trace_batches(
+        pattern, emb_rows=(20, 20), m_den=4, mini_batch_size=3,
+        num_batches=2, num_indices_per_lookup=4, seed=5,
+    )
+    assert len(batches) == 2
+    b = batches[0]
+    assert b.indices.shape == (2, 3, 4)
+    assert b.indices.max() < 20
+    assert (b.weights.sum(-1) >= 1).all()  # at least one index per lookup
+
+
+# --------------------------- processed dataset --------------------------------
+
+def test_processed_dataset_roundtrip(tmp_path):
+    rng = np.random.RandomState(6)
+    tc = gen_table_configs(4, row_range=(10, 50), dim_choices=(8, 16),
+                           pooling_range=(1, 4), rng=rng)
+    assert len(tc["tables"]) == 4
+    batches = generate_processed_data(tc, m_den=13, num_batches=3,
+                                      mini_batch_size=4, seed=6)
+    d = str(tmp_path / "proc")
+    save_processed(d, tc, batches)
+    tc2, batches2 = load_processed(d)
+    assert tc2 == json.loads(json.dumps(tc))
+    for a, b in zip(batches, batches2):
+        np.testing.assert_array_equal(a.indices, b.indices)
+        np.testing.assert_allclose(a.dense, b.dense)
+    # pooling_factor honored exactly (unique indices per lookup)
+    for k, t in enumerate(tc["tables"]):
+        pf = min(t["pooling_factor"], t["row"])
+        assert (batches[0].weights[k].sum(-1) == pf).all()
+
+
+# --------------------------- CSR conversion -----------------------------------
+
+def test_csr_padded_roundtrip():
+    rng = np.random.RandomState(7)
+    cfg = RandomDataConfig(
+        emb_rows=(30, 40), m_den=4, mini_batch_size=5, num_batches=1,
+        num_indices_per_lookup=4, num_indices_per_lookup_fixed=False, seed=8,
+    )
+    b = make_random_batches(cfg)[0]
+    ls_i, ls_o = padded_to_csr(b.indices, b.weights)
+    idx2, w2 = csr_to_padded(ls_i, ls_o, 5, 4)
+    np.testing.assert_array_equal(idx2 * (w2 > 0), b.indices * (b.weights > 0))
+    np.testing.assert_array_equal(w2, b.weights)
+
+
+def test_transform_dense_log():
+    x = np.array([[0, 1, 9]], dtype=np.int32)
+    np.testing.assert_allclose(transform_dense(x), np.log(x + 1.0), rtol=1e-6)
