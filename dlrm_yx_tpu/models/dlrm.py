@@ -34,24 +34,65 @@ from dlrm_yx_tpu.ops.embedding import (
 )
 from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import predictions_from_logits
+from dlrm_yx_tpu.ops.md_embedding import init_md_projection
 from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
+from dlrm_yx_tpu.ops.qr_embedding import QRSpec, init_qr, qr_lookup
+
+
+def model_groups(config: DLRMConfig) -> List[TableGroup]:
+    """Dim-groups over the regular (non-QR) tables."""
+    return build_table_groups(
+        config.emb_rows, config.emb_dims, config.regular_table_ids
+    )
+
+
+def qr_specs(config: DLRMConfig) -> List[QRSpec]:
+    return [
+        QRSpec(
+            table_id=t,
+            rows=config.emb_rows[t],
+            dim=config.emb_dims[t],
+            collisions=config.qr_collisions,
+            operation=config.qr_operation,
+        )
+        for t in config.qr_table_ids
+    ]
 
 
 def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
     """Initialize all parameters with one numpy RandomState.
 
     Draw order (documented seeding scheme; see SURVEY.md §7 "hard parts"):
-    embedding tables in canonical table order, then bottom MLP, then top MLP.
-    Distributions match the reference (emb U(-1/sqrt n, 1/sqrt n), MLP custom
-    Xavier; dlrm_s_pytorch.py:239-244,294-299).
+    embedding tables in canonical table order (QR tables draw quotient then
+    remainder), then MD projections in table order, then bottom MLP, then
+    top MLP. Distributions match the reference (emb U(-1/sqrt n, 1/sqrt n),
+    MLP custom Xavier, MD projections Xavier-uniform;
+    dlrm_s_pytorch.py:239-244,294-299).
     """
+    if config.weighted_pooling == "learned" and config.qr_table_ids:
+        raise NotImplementedError("learned weighted pooling with QR tables")
     rng = np.random.RandomState(seed)
-    groups = build_table_groups(config.emb_rows, config.emb_dims)
+    groups = model_groups(config)
+    specs = qr_specs(config)
+    qr_ids = set(config.qr_table_ids)
+    spec_by_id = {s.table_id: s for s in specs}
     # draw per-table in canonical order, then place into group stores
     per_table = {}
+    qr_params = {}
     for t, (n, d) in enumerate(zip(config.emb_rows, config.emb_dims)):
-        bound = np.sqrt(1.0 / n)
-        per_table[t] = rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
+        if t in qr_ids:
+            qr_params[t] = tuple(map(jnp.asarray, init_qr(rng, spec_by_id[t])))
+        else:
+            bound = np.sqrt(1.0 / n)
+            per_table[t] = rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
+    md_proj = None
+    if config.md_table_ids:
+        md_proj = [
+            jnp.asarray(
+                init_md_projection(rng, config.emb_dims[t], config.base_dim)
+            )
+            for t in config.md_table_ids
+        ]
     emb = []
     for g in groups:
         store = np.zeros((g.total_rows, g.dim), dtype=np.float32)
@@ -73,7 +114,25 @@ def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
         "emb": emb,
         "vw": vw,
     }
+    if specs:
+        params["qr"] = [qr_params[s.table_id] for s in specs]
+    if md_proj is not None:
+        params["md_proj"] = md_proj
     return params
+
+
+def qr_lookup_all(
+    params: Dict, config: DLRMConfig, indices: jax.Array, weights: jax.Array
+) -> List[jax.Array]:
+    """Pooled lookups for the QR tables. Returns [pooled [B, out_dim]] in
+    qr_table_ids order."""
+    out = []
+    for i, spec in enumerate(qr_specs(config)):
+        q, r = params["qr"][i]
+        out.append(
+            qr_lookup(q, r, spec, indices[spec.table_id], weights[spec.table_id])
+        )
+    return out
 
 
 def group_indices(group: TableGroup, indices: jax.Array) -> jax.Array:
@@ -109,21 +168,37 @@ def lookup_all_groups(
 
 
 def assemble_slots(
-    pooled_list: Sequence[jax.Array], groups: Sequence[TableGroup], config: DLRMConfig
+    pooled_list: Sequence[jax.Array],
+    groups: Sequence[TableGroup],
+    config: DLRMConfig,
+    qr_pooled: Sequence[jax.Array] = (),
+    md_proj: Optional[Sequence[jax.Array]] = None,
 ) -> jax.Array:
-    """Reassemble group pooled outputs into [B, S, D] canonical slot order,
-    applying the mixed-dim split trick (dim k*D -> k slots of D;
-    dlrm_s_pytorch.py:579-585)."""
+    """Reassemble group/QR pooled outputs into [B, S, D] canonical slot
+    order, applying the mixed-dim split trick (dim k*D -> k slots of D;
+    dlrm_s_pytorch.py:579-585) and MD up-projections (PrEmbeddingBag)."""
     d = config.base_dim
-    if len(groups) == 1 and groups[0].dim == d:
+    if (
+        len(groups) == 1
+        and groups[0].dim == d
+        and not qr_pooled
+        and groups[0].num_tables == config.num_tables
+    ):
         return jnp.transpose(pooled_list[0], (1, 0, 2))  # [B, T, D]
     per_table = {}
     for g, pooled in zip(groups, pooled_list):
         for i, tid in enumerate(g.table_ids):
             per_table[tid] = pooled[i]  # [B, dim_g]
+    for tid, pooled in zip(config.qr_table_ids, qr_pooled):
+        per_table[tid] = pooled
+    md_ids = {tid: i for i, tid in enumerate(config.md_table_ids)}
     slots = []
     for t in range(config.num_tables):
         y = per_table[t]
+        if t in md_ids:
+            y = jnp.dot(y, md_proj[md_ids[t]])  # up-project to base dim
+            slots.append(y)
+            continue
         k = config.slots_per_table[t]
         if k == 1:
             slots.append(y)
@@ -138,6 +213,7 @@ def forward_from_pooled(
     groups: Sequence[TableGroup],
     dense_x: jax.Array,
     pooled_list: Sequence[jax.Array],
+    qr_pooled: Sequence[jax.Array] = (),
 ) -> jax.Array:
     """bottom MLP + interaction + top MLP from pooled embeddings -> logits.
 
@@ -146,7 +222,9 @@ def forward_from_pooled(
     the reference hand-codes at dlrm_s_pytorch.py:708-713)."""
     cdt = jnp.dtype(config.compute_dtype)
     x = apply_mlp(dense_x, params["bot"], config.sigmoid_bot, cdt)
-    ly = assemble_slots(pooled_list, groups, config)
+    ly = assemble_slots(
+        pooled_list, groups, config, qr_pooled, params.get("md_proj")
+    )
     z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
     # the reference puts sigmoid at the last top layer (sigmoid_top); we
     # return logits and fold the sigmoid into loss/prediction for stability
@@ -164,7 +242,12 @@ def forward_logits(
     weights: jax.Array,
 ) -> jax.Array:
     pooled = lookup_all_groups(params, groups, indices, weights, config.lookup_impl)
-    return forward_from_pooled(params, config, groups, dense_x, pooled)
+    qr_pooled = (
+        qr_lookup_all(params, config, indices, weights)
+        if config.qr_table_ids
+        else ()
+    )
+    return forward_from_pooled(params, config, groups, dense_x, pooled, qr_pooled)
 
 
 def forward(

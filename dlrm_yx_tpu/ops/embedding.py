@@ -65,12 +65,19 @@ class TableGroup:
 
 
 def build_table_groups(
-    emb_rows: Sequence[int], emb_dims: Sequence[int]
+    emb_rows: Sequence[int],
+    emb_dims: Sequence[int],
+    table_ids: Optional[Sequence[int]] = None,
 ) -> List[TableGroup]:
-    """Group tables by dim; compute aligned flat-array row offsets."""
+    """Group tables by dim; compute aligned flat-array row offsets.
+    table_ids restricts to a subset of canonical tables (e.g. the non-QR
+    tables; QR tables get their own compositional stores)."""
+    if table_ids is None:
+        table_ids = range(len(emb_rows))
     by_dim = {}
-    for t, (n, d) in enumerate(zip(emb_rows, emb_dims)):
-        by_dim.setdefault(int(d), []).append((t, int(n)))
+    for t in table_ids:
+        n, d = emb_rows[t], emb_dims[t]
+        by_dim.setdefault(int(d), []).append((int(t), int(n)))
     groups = []
     for d in sorted(by_dim):
         entries = by_dim[d]

@@ -61,6 +61,21 @@ def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -
     state = {"dense": dense, "emb": emb}
     if params.get("vw") is not None:
         state["vw"] = [jnp.zeros_like(v) for v in params["vw"]]
+    if "qr" in params:
+        if opt.name == "adagrad":
+            state["qr"] = [
+                (jnp.zeros_like(q), jnp.zeros_like(r)) for q, r in params["qr"]
+            ]
+        else:
+            state["qr"] = [
+                (
+                    jnp.zeros((q.shape[0],), jnp.float32),
+                    jnp.zeros((r.shape[0],), jnp.float32),
+                )
+                for q, r in params["qr"]
+            ]
+    if "md_proj" in params:
+        state["md_proj"] = [jnp.zeros_like(w) for w in params["md_proj"]]
     return state
 
 

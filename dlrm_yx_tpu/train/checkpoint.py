@@ -1,0 +1,79 @@
+"""Checkpoint / resume.
+
+Capability parity with the reference (``/root/reference/dlrm_s_pytorch.py:
+1698-1755, 2025-2038``): checkpoints carry model params, optimizer state,
+epoch/iteration counters and the tracked metrics; ``--load-model`` restores
+everything and *skips forward* to the saved (epoch, batch) position
+(skip_upto semantics); save-on-best during eval.
+
+Format: one directory per checkpoint; pytrees flattened to a single
+``.npz`` (arrays) + ``meta.json`` (counters/metrics/treedef) — portable and
+dependency-free. Sharded (hybrid) params are gathered to host before save
+and re-sharded on load by the caller via parallel.hybrid.shard_params.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Tuple[Dict[str, np.ndarray], Any]:
+    leaves, treedef = jax.tree.flatten(tree)
+    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}, treedef
+
+
+def save_checkpoint(
+    path: str,
+    params,
+    opt_state,
+    *,
+    epoch: int = 0,
+    iteration: int = 0,
+    train_loss: float = 0.0,
+    metrics: Dict[str, float] | None = None,
+) -> None:
+    os.makedirs(path, exist_ok=True)
+    p_leaves, _ = _flatten(params)
+    s_leaves, _ = _flatten(opt_state)
+    np.savez(os.path.join(path, "params.npz"), **p_leaves)
+    np.savez(os.path.join(path, "opt_state.npz"), **s_leaves)
+    meta = {
+        "epoch": int(epoch),
+        "iteration": int(iteration),
+        "train_loss": float(train_loss),
+        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, params_like, opt_state_like):
+    """Restore (params, opt_state, meta). params_like/opt_state_like provide
+    the pytree structure (from init)."""
+    def unflatten(npz_path, like):
+        leaves_like, treedef = jax.tree.flatten(like)
+        with np.load(npz_path) as d:
+            leaves = [d[f"leaf_{i}"] for i in range(len(leaves_like))]
+        return jax.tree.unflatten(treedef, leaves)
+
+    params = unflatten(os.path.join(path, "params.npz"), params_like)
+    opt_state = unflatten(os.path.join(path, "opt_state.npz"), opt_state_like)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return params, opt_state, meta
+
+
+def skip_position(meta: Dict, nbatches: int) -> Tuple[int, int]:
+    """skip_upto_epoch / skip_upto_batch from a restored checkpoint
+    (dlrm_s_pytorch.py:1838-1839,1854-1855): resume after the saved
+    iteration within the saved epoch."""
+    it = meta.get("iteration", 0)
+    ep = meta.get("epoch", 0)
+    if nbatches and it >= nbatches:
+        return ep + it // nbatches, it % nbatches
+    return ep, it

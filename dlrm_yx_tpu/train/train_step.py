@@ -26,9 +26,13 @@ from dlrm_yx_tpu.models.dlrm import (
     forward_from_pooled,
     group_indices,
     lookup_all_groups,
+    model_groups,
+    qr_lookup_all,
+    qr_specs,
 )
-from dlrm_yx_tpu.ops.embedding import build_table_groups, flat_row_grads, vw_row_grads
+from dlrm_yx_tpu.ops.embedding import flat_row_grads, vw_row_grads
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
+from dlrm_yx_tpu.ops.qr_embedding import qr_row_grads
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
@@ -47,6 +51,7 @@ def apply_gradients(
     g_dense: Dict,
     g_pooled,
     lr,
+    g_qr_pooled=(),
 ):
     """Shared between the single-device and hybrid-parallel steps: dense
     updates + sparse per-group row updates from the pooled cotangent."""
@@ -70,6 +75,39 @@ def apply_gradients(
             new_state.setdefault("dense", {})
             new_state["dense"] = dict(new_state["dense"])
             new_state["dense"][k] = new_acc
+
+    # MD projections are dense params too (PrEmbeddingBag's Linear)
+    if "md_proj" in g_dense:
+        new_proj, new_proj_acc = [], []
+        for i, w in enumerate(params["md_proj"]):
+            acc = opt_state["md_proj"][i] if opt.name != "sgd" else None
+            w2, acc2 = dense_update(opt, w, g_dense["md_proj"][i], acc, lr)
+            new_proj.append(w2)
+            new_proj_acc.append(acc2)
+        new_params["md_proj"] = new_proj
+        if opt.name != "sgd":
+            new_state["md_proj"] = new_proj_acc
+
+    # QR sub-table sparse updates (chain rule through the combine)
+    if g_qr_pooled:
+        new_qr, new_qr_acc = [], []
+        for i, spec in enumerate(qr_specs(config)):
+            q, r = params["qr"][i]
+            (qi, gq), (ri, gr) = qr_row_grads(
+                q, r, spec,
+                batch.indices[spec.table_id], batch.weights[spec.table_id],
+                g_qr_pooled[i],
+            )
+            q_acc, r_acc = (
+                opt_state["qr"][i] if opt.name != "sgd" else (None, None)
+            )
+            q2, q_acc2 = sparse_update(opt, q, q_acc, qi, gq, lr, spec.q_rows)
+            r2, r_acc2 = sparse_update(opt, r, r_acc, ri, gr, lr, spec.collisions)
+            new_qr.append((q2, r2))
+            new_qr_acc.append((q_acc2, r_acc2))
+        new_params["qr"] = new_qr
+        if opt.name != "sgd":
+            new_state["qr"] = new_qr_acc
 
     # sparse embedding updates
     new_emb, new_emb_acc = [], []
@@ -115,29 +153,40 @@ def make_train_step(
 ):
     """Returns step(params, opt_state, batch, iteration) ->
     (params, opt_state, loss)."""
-    groups = build_table_groups(config.emb_rows, config.emb_dims)
+    groups = model_groups(config)
+    has_qr = bool(config.qr_table_ids)
 
     def step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         pooled = lookup_all_groups(
             params, groups, batch.indices, batch.weights, config.lookup_impl
         )
+        qr_pooled = (
+            qr_lookup_all(params, config, batch.indices, batch.weights)
+            if has_qr
+            else []
+        )
 
-        def dense_loss(dense_params, pooled_in):
+        def dense_loss(dense_params, pooled_in, qr_in):
             p2 = dict(params)
-            p2["bot"], p2["top"] = dense_params["bot"], dense_params["top"]
-            logits = forward_from_pooled(p2, config, groups, batch.dense, pooled_in)
+            p2.update(dense_params)
+            logits = forward_from_pooled(
+                p2, config, groups, batch.dense, pooled_in, qr_in
+            )
             return loss_fn(
                 logits, batch.labels, config.loss, config.loss_threshold,
                 config.wbce_weights,
             )
 
         dense_params = {"bot": params["bot"], "top": params["top"]}
-        loss, (g_dense, g_pooled) = jax.value_and_grad(dense_loss, argnums=(0, 1))(
-            dense_params, pooled
-        )
+        if "md_proj" in params:
+            dense_params["md_proj"] = params["md_proj"]
+        loss, (g_dense, g_pooled, g_qr) = jax.value_and_grad(
+            dense_loss, argnums=(0, 1, 2)
+        )(dense_params, pooled, qr_pooled)
         new_params, new_state = apply_gradients(
-            config, opt, groups, params, opt_state, batch, g_dense, g_pooled, lr
+            config, opt, groups, params, opt_state, batch, g_dense, g_pooled,
+            lr, g_qr,
         )
         return new_params, new_state, loss
 
@@ -149,13 +198,20 @@ def make_train_step(
 def make_eval_step(config: DLRMConfig, jit: bool = True):
     """Returns eval(params, batch) -> (predictions [B,1], loss) — the
     inference path of dlrm_s_pytorch.py:1018-1162."""
-    groups = build_table_groups(config.emb_rows, config.emb_dims)
+    groups = model_groups(config)
 
     def eval_step(params, batch):
         pooled = lookup_all_groups(
             params, groups, batch.indices, batch.weights, config.lookup_impl
         )
-        logits = forward_from_pooled(params, config, groups, batch.dense, pooled)
+        qr_pooled = (
+            qr_lookup_all(params, config, batch.indices, batch.weights)
+            if config.qr_table_ids
+            else ()
+        )
+        logits = forward_from_pooled(
+            params, config, groups, batch.dense, pooled, qr_pooled
+        )
         preds = predictions_from_logits(logits, config.loss_threshold)
         loss = loss_fn(
             logits, batch.labels, config.loss, config.loss_threshold,

@@ -1,0 +1,240 @@
+"""The training driver: epoch/batch loop, eval, checkpointing, early stop.
+
+Capability parity with the reference's ``run()`` hot loop and ``inference()``
+(``/root/reference/dlrm_s_pytorch.py:1674-2117,1018-1162``):
+  * per-iteration loss/ms-at-print-freq console output, TensorBoard scalars;
+  * periodic eval with accuracy (+ full mlperf metric set when requested);
+  * best-accuracy checkpoint save, load + skip-upto resume;
+  * MLPerf early stopping on accuracy/AUC thresholds
+    (--mlperf-acc-threshold / --mlperf-auc-threshold,
+    dlrm_s_pytorch.py:2053-2083);
+  * LR policy scheduling; warmup-excluded timing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+from dlrm_yx_tpu.optim.lr_policy import LRPolicy
+from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+from dlrm_yx_tpu.train.checkpoint import load_checkpoint, save_checkpoint, skip_position
+from dlrm_yx_tpu.train.metrics import StreamingAUC, binary_metrics
+from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
+from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
+from dlrm_yx_tpu.utils.profiling import StepTimer
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    nepochs: int = 1
+    print_freq: int = 64
+    test_freq: int = 0               # 0 = eval at epoch end only
+    mlperf_logging: bool = False     # full metric set + mllog events
+    mlperf_acc_threshold: float = 0.0
+    mlperf_auc_threshold: float = 0.0
+    save_path: str = ""              # checkpoint dir ("" = no saving)
+    load_path: str = ""              # resume checkpoint dir
+    tb_logdir: str = ""              # TensorBoard/JSONL scalars
+    seed: int = 123
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: DLRMConfig,
+        opt: OptConfig,
+        tcfg: TrainerConfig,
+        lr_policy: Optional[LRPolicy] = None,
+    ):
+        self.config = config
+        self.opt = opt
+        self.tcfg = tcfg
+        self.groups = model_groups(config)
+        lr_fn = lr_policy if lr_policy is not None else None
+        self.train_step = make_train_step(config, opt, lr_fn)
+        self.eval_step = make_eval_step(config)
+        self.params = init_dlrm(config, seed=tcfg.seed)
+        self.opt_state = init_opt_state(opt, self.params, self.groups)
+        self.events = EventLogger() if tcfg.mlperf_logging else None
+        self.writer = ScalarWriter(tcfg.tb_logdir) if tcfg.tb_logdir else None
+        self.best_acc = 0.0
+        self.best_auc = 0.0
+        self.iteration = 0
+        self.start_epoch = 0
+        self.skip_batches = 0
+        if tcfg.load_path:
+            self.params, self.opt_state, meta = load_checkpoint(
+                tcfg.load_path, self.params, self.opt_state
+            )
+            self.best_acc = meta["metrics"].get("accuracy", 0.0)
+            self.iteration = meta["iteration"]
+            self._resume_meta = meta
+            rank0_print(
+                f"Resumed checkpoint at epoch {meta['epoch']} "
+                f"iteration {meta['iteration']}"
+            )
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate(self, test_batches: Iterable[Batch]) -> dict:
+        """inference() equivalent: streams eval batches, returns metric dict.
+        With mlperf_logging: full recall/precision/f1/ap/roc_auc/accuracy
+        (dlrm_s_pytorch.py:1088-1118); else rounded-prediction accuracy."""
+        if self.events:
+            self.events.log_start("eval_start")
+        scores: List[np.ndarray] = []
+        targets: List[np.ndarray] = []
+        sauc = StreamingAUC()
+        n_correct = 0
+        n_total = 0
+        for b in test_batches:
+            preds, _ = self.eval_step(self.params, Batch(*map(jnp.asarray, b)))
+            p = np.asarray(preds).ravel()
+            t = np.asarray(b.labels).ravel()
+            n_correct += int(((p >= 0.5) == (t > 0.5)).sum())
+            n_total += len(t)
+            sauc.add(p, t)
+            if self.tcfg.mlperf_logging:
+                scores.append(p)
+                targets.append(t)
+        if self.tcfg.mlperf_logging and scores:
+            metrics = binary_metrics(np.concatenate(scores), np.concatenate(targets))
+        else:
+            metrics = {"accuracy": n_correct / max(n_total, 1)}
+        metrics["streaming_auc"] = sauc.auc()
+        if self.events:
+            self.events.log_event("eval_accuracy", metrics.get("accuracy"))
+            if "roc_auc" in metrics:
+                self.events.log_event("eval_auc", metrics["roc_auc"])
+            self.events.log_end("eval_stop")
+        return metrics
+
+    # ----------------------------------------------------------------- train
+
+    def fit(
+        self,
+        train_batches,
+        test_batches: Optional[Callable[[], Iterable[Batch]]] = None,
+    ) -> dict:
+        """train_batches: a sequence (or factory of iterables) of Batch.
+        test_batches: zero-arg callable returning an eval iterable.
+        Returns final metric summary. Early-stops when mlperf thresholds are
+        hit (dlrm_s_pytorch.py:2053-2083)."""
+        tcfg = self.tcfg
+        if self.events:
+            self.events.log_start("init_start")
+            self.events.log_event("seed", tcfg.seed)
+            self.events.log_end("init_stop")
+            self.events.log_start("run_start")
+        nbatches = len(train_batches) if hasattr(train_batches, "__len__") else 0
+        if tcfg.load_path and nbatches:
+            self.start_epoch, self.skip_batches = skip_position(
+                self._resume_meta, nbatches
+            )
+        timer = StepTimer()
+        accum_loss = 0.0
+        accum_n = 0
+        stop = False
+        summary = {}
+        for epoch in range(self.start_epoch, tcfg.nepochs):
+            if self.events:
+                self.events.log_start("epoch_start", {"epoch_num": epoch})
+            it_source = (
+                train_batches() if callable(train_batches) else train_batches
+            )
+            for j, b in enumerate(it_source):
+                if epoch == self.start_epoch and j < self.skip_batches:
+                    continue
+                timer.start()
+                self.params, self.opt_state, loss = self.train_step(
+                    self.params, self.opt_state,
+                    Batch(*map(jnp.asarray, b)), self.iteration,
+                )
+                loss = float(loss)  # blocks; keeps timing honest
+                timer.stop()
+                accum_loss += loss
+                accum_n += 1
+                self.iteration += 1
+
+                if tcfg.print_freq and self.iteration % tcfg.print_freq == 0:
+                    ms = timer.mean_ms()
+                    avg_loss = accum_loss / max(accum_n, 1)
+                    rank0_print(
+                        f"Finished training it {self.iteration} of epoch "
+                        f"{epoch}, {ms:.2f} ms/it, loss {avg_loss:.6f}"
+                    )
+                    if self.writer:
+                        self.writer.add_scalar("Train/Loss", avg_loss, self.iteration)
+                    accum_loss, accum_n = 0.0, 0
+                    timer = StepTimer(warmup_iters=0)
+
+                if (
+                    test_batches is not None
+                    and tcfg.test_freq
+                    and self.iteration % tcfg.test_freq == 0
+                ):
+                    stop, summary = self._run_eval(test_batches, epoch)
+                    if stop:
+                        break
+            if self.events:
+                self.events.log_end("epoch_stop", {"epoch_num": epoch})
+            if stop:
+                break
+            if test_batches is not None and not tcfg.test_freq:
+                stop, summary = self._run_eval(test_batches, epoch)
+                if stop:
+                    break
+        if self.events:
+            self.events.log_end("run_stop")
+        return summary
+
+    def _run_eval(self, test_batches, epoch: int):
+        metrics = self.evaluate(test_batches())
+        acc = metrics.get("accuracy", 0.0)
+        auc = metrics.get("roc_auc", metrics.get("streaming_auc", 0.0))
+        is_best = acc > self.best_acc
+        if is_best:
+            self.best_acc = acc
+        self.best_auc = max(self.best_auc, auc if np.isfinite(auc) else 0.0)
+        rank0_print(
+            f"Testing at it {self.iteration} of epoch {epoch}: "
+            f"accuracy {100*acc:.3f}%, best {100*self.best_acc:.3f}%"
+        )
+        if self.writer:
+            self.writer.add_scalar("Test/Acc", acc, self.iteration)
+            for k, v in metrics.items():
+                if k != "accuracy" and np.isfinite(v):
+                    self.writer.add_scalar(f"mlperf-metrics-test/{k}", v, self.iteration)
+        if is_best and self.tcfg.save_path:
+            save_checkpoint(
+                self.tcfg.save_path, self.params, self.opt_state,
+                epoch=epoch, iteration=self.iteration, metrics=metrics,
+            )
+            rank0_print(f"Saved best checkpoint to {self.tcfg.save_path}")
+        stop = False
+        if (
+            self.tcfg.mlperf_acc_threshold > 0
+            and self.best_acc > self.tcfg.mlperf_acc_threshold
+        ):
+            rank0_print(
+                f"MLPerf testing accuracy threshold "
+                f"{self.tcfg.mlperf_acc_threshold} reached, stop training"
+            )
+            stop = True
+        if (
+            self.tcfg.mlperf_auc_threshold > 0
+            and self.best_auc > self.tcfg.mlperf_auc_threshold
+        ):
+            rank0_print(
+                f"MLPerf testing AUC threshold "
+                f"{self.tcfg.mlperf_auc_threshold} reached, stop training"
+            )
+            stop = True
+        return stop, metrics

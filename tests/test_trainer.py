@@ -1,0 +1,171 @@
+"""Metrics, checkpoint/resume, LR-policy-in-trainer, early-stop tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
+from dlrm_yx_tpu.optim.lr_policy import LRPolicy
+from dlrm_yx_tpu.optim.optimizer import OptConfig
+from dlrm_yx_tpu.train.checkpoint import load_checkpoint, save_checkpoint, skip_position
+from dlrm_yx_tpu.train.metrics import (
+    StreamingAUC,
+    average_precision,
+    binary_metrics,
+    roc_auc_exact,
+)
+from dlrm_yx_tpu.train.trainer import Trainer, TrainerConfig
+
+
+# ------------------------------ metrics --------------------------------------
+
+def test_roc_auc_exact_vs_sklearn_or_bruteforce():
+    rng = np.random.RandomState(0)
+    s = rng.rand(500)
+    t = (rng.rand(500) < 0.3).astype(int)
+    got = roc_auc_exact(s, t)
+    try:
+        from sklearn.metrics import roc_auc_score
+
+        want = roc_auc_score(t, s)
+    except ImportError:
+        pos, neg = s[t == 1], s[t == 0]
+        cmp = pos[:, None] - neg[None, :]
+        want = ((cmp > 0).sum() + 0.5 * (cmp == 0).sum()) / (len(pos) * len(neg))
+    assert abs(got - want) < 1e-10
+
+
+def test_roc_auc_with_ties():
+    s = np.array([0.5, 0.5, 0.5, 0.5])
+    t = np.array([1, 0, 1, 0])
+    assert roc_auc_exact(s, t) == pytest.approx(0.5)
+
+
+def test_streaming_auc_approximates_exact():
+    rng = np.random.RandomState(1)
+    t = (rng.rand(20000) < 0.25).astype(int)
+    s = np.clip(0.3 * rng.randn(20000) + 0.4 + 0.2 * t, 0, 1)
+    exact = roc_auc_exact(s, t)
+    sauc = StreamingAUC(bins=1 << 14)
+    for i in range(0, len(s), 4096):  # streamed in chunks
+        sauc.add(s[i : i + 4096], t[i : i + 4096])
+    assert abs(sauc.auc() - exact) < 2e-3
+    # mergeable across shards
+    a, b = StreamingAUC(bins=1 << 14), StreamingAUC(bins=1 << 14)
+    a.add(s[:10000], t[:10000])
+    b.add(s[10000:], t[10000:])
+    a.merge(b)
+    assert abs(a.auc() - sauc.auc()) < 1e-12
+
+
+def test_average_precision_vs_sklearn_or_small_case():
+    try:
+        from sklearn.metrics import average_precision_score
+
+        rng = np.random.RandomState(2)
+        s = rng.rand(300)
+        t = (rng.rand(300) < 0.4).astype(int)
+        assert abs(average_precision(s, t) - average_precision_score(t, s)) < 1e-10
+    except ImportError:
+        # hand-computed: scores .9(+) .8(-) .7(+) => AP = .5*1 + .5*(2/3)
+        s = np.array([0.9, 0.8, 0.7])
+        t = np.array([1, 0, 1])
+        assert average_precision(s, t) == pytest.approx(0.5 * 1 + 0.5 * (2 / 3))
+
+
+def test_binary_metrics_block():
+    s = np.array([0.9, 0.2, 0.7, 0.4])
+    t = np.array([1, 0, 0, 1])
+    m = binary_metrics(s, t)
+    assert m["accuracy"] == pytest.approx(0.5)  # TP=1 TN=1 FP=1 FN=1
+    assert m["precision"] == pytest.approx(0.5)
+    assert m["recall"] == pytest.approx(0.5)
+    assert m["f1"] == pytest.approx(0.5)
+    assert 0 <= m["roc_auc"] <= 1 and 0 <= m["ap"] <= 1
+
+
+# --------------------------- checkpoint / resume ------------------------------
+
+def _tiny_trainer(tmp_path, **tkw):
+    cfg = DLRMConfig.tiny()
+    opt = OptConfig("rwsadagrad", lr=0.1)
+    tcfg = TrainerConfig(print_freq=0, seed=3, **tkw)
+    return Trainer(cfg, opt, tcfg), cfg
+
+
+def _batches(cfg, n, seed=4, b=4):
+    dc = RandomDataConfig(
+        emb_rows=cfg.emb_rows, m_den=cfg.ln_bot[0], mini_batch_size=b,
+        num_batches=n, num_indices_per_lookup=2,
+        num_indices_per_lookup_fixed=False, round_targets=True, seed=seed,
+    )
+    return make_random_batches(dc)
+
+
+def test_checkpoint_roundtrip_and_skip(tmp_path):
+    trainer, cfg = _tiny_trainer(tmp_path)
+    batches = _batches(cfg, 5)
+    trainer.fit(batches)
+    assert trainer.iteration == 5
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, trainer.params, trainer.opt_state,
+                    epoch=0, iteration=5, metrics={"accuracy": 0.75})
+    p2, s2, meta = load_checkpoint(path, trainer.params, trainer.opt_state)
+    for a, b in zip(
+        np.asarray(trainer.params["emb"][0]).ravel(),
+        np.asarray(p2["emb"][0]).ravel(),
+    ):
+        assert a == b
+    assert meta["metrics"]["accuracy"] == 0.75
+    assert skip_position(meta, nbatches=5) == (1, 0)
+    assert skip_position({"epoch": 0, "iteration": 3}, nbatches=5) == (0, 3)
+
+
+def test_resume_continues_identically(tmp_path):
+    """Train 6 its straight vs train 3, checkpoint, resume, train 3 —
+    final params must match (the reference's skip-upto resume contract)."""
+    trainer_a, cfg = _tiny_trainer(tmp_path)
+    batches = _batches(cfg, 6)
+    trainer_a.fit(batches)
+
+    trainer_b, _ = _tiny_trainer(tmp_path)
+    trainer_b.fit(batches[:3])
+    ck = str(tmp_path / "resume_ck")
+    save_checkpoint(ck, trainer_b.params, trainer_b.opt_state,
+                    epoch=0, iteration=3)
+    trainer_c, _ = _tiny_trainer(tmp_path, load_path=ck)
+    assert trainer_c.iteration == 3
+    trainer_c.fit(batches)  # skips first 3 via skip_position
+    np.testing.assert_allclose(
+        np.asarray(trainer_a.params["emb"][0]),
+        np.asarray(trainer_c.params["emb"][0]),
+        rtol=1e-6,
+    )
+
+
+def test_eval_and_early_stop(tmp_path):
+    trainer, cfg = _tiny_trainer(
+        tmp_path,
+        test_freq=2,
+        mlperf_logging=True,
+        mlperf_acc_threshold=0.0001,  # trip immediately at first eval
+        save_path=str(tmp_path / "best"),
+    )
+    batches = _batches(cfg, 6)
+    summary = trainer.fit(batches, test_batches=lambda: _batches(cfg, 2, seed=9))
+    assert trainer.iteration == 2  # stopped at first eval
+    assert "roc_auc" in summary
+    assert os.path.exists(str(tmp_path / "best" / "meta.json"))
+
+
+def test_trainer_with_lr_policy(tmp_path):
+    cfg = DLRMConfig.tiny()
+    opt = OptConfig("sgd", lr=0.5)
+    pol = LRPolicy(base_lr=0.5, num_warmup_steps=2, decay_start_step=4,
+                   num_decay_steps=2)
+    trainer = Trainer(cfg, opt, TrainerConfig(print_freq=0, seed=3), lr_policy=pol)
+    batches = _batches(cfg, 6)
+    trainer.fit(batches)
+    assert trainer.iteration == 6  # just runs through warmup+decay
