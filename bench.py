@@ -11,7 +11,9 @@ Methodology: steps are enqueued in chains of N1 and N2 iterations with a
 blocking fetch only at the end of each chain; per-step time is the slope
 (t2 - t1) / (N2 - N1). This cancels the fixed dispatch/tunnel round-trip
 latency, which on this environment's remote TPU relay is ~30 ms and would
-otherwise swamp the measurement.
+otherwise swamp the measurement. Parameters are initialized ON DEVICE
+(init_dlrm_on_device) — the ~13 GB of tables never cross the host link —
+and the step donates its state, so peak HBM is one copy of the model.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to BASELINE_EXAMPLES_PER_SEC — this framework's
@@ -39,16 +41,16 @@ def main():
 
     from dlrm_yx_tpu.config import DLRMConfig
     from dlrm_yx_tpu.data.batch import Batch
-    from dlrm_yx_tpu.models.dlrm import init_dlrm
+    from dlrm_yx_tpu.models.dlrm import init_dlrm_on_device
     from dlrm_yx_tpu.ops.embedding import build_table_groups
     from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
     from dlrm_yx_tpu.train.train_step import make_train_step
 
     cfg = DLRMConfig.terabyte_mlperf(max_ind_range=MAX_IND_RANGE)
-    params = init_dlrm(cfg, seed=123)
+    params = init_dlrm_on_device(cfg, seed=123)
     groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
     opt = OptConfig(name="rwsadagrad", lr=0.01)
-    opt_state0 = init_opt_state(opt, params, groups)
+    opt_state = init_opt_state(opt, params, groups)
     step = make_train_step(cfg, opt)
 
     t = cfg.num_tables
@@ -68,20 +70,22 @@ def main():
 
     batches = [make_batch(i) for i in range(4)]
 
-    def run_chain(n):
-        # fresh copies: the step donates its params/opt_state arguments
-        p = jax.tree.map(jnp.array, params)
-        s = jax.tree.map(jnp.array, opt_state0)
-        p, s, loss = step(p, s, batches[0], 0)
-        _ = float(loss)  # compile + warm, blocking
+    # warm-up / compile (blocking)
+    params, opt_state, loss = step(params, opt_state, batches[0], 0)
+    _ = float(loss)
+
+    def run_chain(n, it0):
+        nonlocal params, opt_state
         t0 = time.perf_counter()
         for i in range(n):
-            p, s, loss = step(p, s, batches[i % len(batches)], i)
+            params, opt_state, loss = step(
+                params, opt_state, batches[i % len(batches)], it0 + i
+            )
         _ = float(loss)  # blocking fetch drains the chain
         return time.perf_counter() - t0
 
-    t1 = run_chain(N1)
-    t2 = run_chain(N2)
+    t1 = run_chain(N1, 1)
+    t2 = run_chain(N2, 1 + N1)
     per_step = (t2 - t1) / (N2 - N1)
     examples_per_sec = BATCH / per_step
     vs = (

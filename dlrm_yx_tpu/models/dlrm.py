@@ -121,6 +121,53 @@ def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
     return params
 
 
+def init_dlrm_on_device(config: DLRMConfig, seed: int = 123) -> Dict:
+    """Large-model initializer: embedding stores are drawn ON DEVICE with
+    ``jax.random`` under jit, so multi-GB tables never exist on the host and
+    never cross the host->device link (the Terabyte MLPerf tables are ~13 GB;
+    host init + transfer takes minutes over a tunneled TPU, device init is
+    milliseconds). Dense params use the same numpy draws as ``init_dlrm``.
+
+    Note: embedding values differ from ``init_dlrm`` (different RNG); use
+    ``init_dlrm`` for golden/differential tests, this for benchmarks and
+    production-size runs. Distribution is identical: U(-1/sqrt n, 1/sqrt n)
+    per table, zero padding rows (dlrm_s_pytorch.py:294-299).
+    """
+    if config.qr_table_ids or config.md_table_ids:
+        raise NotImplementedError("device init supports plain tables only")
+    rng = np.random.RandomState(seed)
+    groups = model_groups(config)
+
+    emb = []
+    for gi, g in enumerate(groups):
+        bound = np.zeros((g.total_rows,), np.float32)
+        for n, off in zip(g.rows, g.row_offsets):
+            bound[off : off + n] = np.sqrt(1.0 / n)
+
+        @jax.jit
+        def draw_g(key, bound, dim=g.dim):
+            u = jax.random.uniform(
+                key, bound.shape + (dim,), jnp.float32, -1.0, 1.0
+            )
+            return u * bound[:, None]
+
+        emb.append(draw_g(jax.random.PRNGKey(seed + gi), jnp.asarray(bound)))
+    vw = None
+    if config.weighted_pooling is not None:
+        vw = []
+        for g in groups:
+            v = np.zeros((g.total_rows,), dtype=np.float32)
+            for n, off in zip(g.rows, g.row_offsets):
+                v[off : off + n] = 1.0
+            vw.append(jnp.asarray(v))
+    return {
+        "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
+        "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
+        "emb": emb,
+        "vw": vw,
+    }
+
+
 def qr_lookup_all(
     params: Dict, config: DLRMConfig, indices: jax.Array, weights: jax.Array
 ) -> List[jax.Array]:

@@ -1,0 +1,385 @@
+"""Row-sharded embedding tables over the "model" mesh axis.
+
+The reference places WHOLE tables on devices (``/root/reference/sharders.py``;
+``dlrm_s_pytorch.py:443-489``) — a table never spans ranks, so its largest
+table must fit one GPU. This module is the idiomatic-TPU generalization
+(SURVEY.md §7 stage 8, the north-star extension): the flat table-batched
+store ``[total_rows, D]`` is split row-wise into ``n_model`` equal shards, so
+a 40M-row MLPerf table spans the whole mesh and HBM scales with the slice.
+
+Routing (all static shapes, no data-dependent all-to-all sizes):
+  * every model shard sees the full per-data-shard index block ``[T, Bd, L]``
+    (indices are replicated over "model" — they are int32 and tiny next to
+    the pooled vectors);
+  * a shard pools only rows it owns: ``local = global_id - base``; rows
+    outside ``[0, rows_local)`` are masked to weight 0, so each shard
+    produces a PARTIAL pooled sum ``[T, Bd, D]``;
+  * ``psum_scatter`` over "model" both completes the sum (each global row
+    lives on exactly one shard) and splits the batch axis, yielding the
+    batch-sharded pooled layout the dense towers want — one collective does
+    reduce + re-partition, the row-sharded analog of the whole-table design's
+    all-to-all;
+  * backward: the pooled cotangent is ``all_gather``-ed back over "model"
+    (the transpose of psum_scatter, which jax.vjp would also produce), each
+    shard extracts gradient rows it owns and applies local scatter updates —
+    no cross-shard optimizer state, same contract as the reference's
+    per-rank sparse updates (SURVEY.md §2.4).
+
+Dense MLPs stay replicated / data-parallel over ("data", "model") exactly as
+in parallel/hybrid.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.ops.interaction import interact_features
+from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
+from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
+from dlrm_yx_tpu.optim.optimizer import OptConfig, dense_update, sparse_update
+
+ROW_ALIGN = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class RowShardPlan:
+    """Static layout: all tables (one shared dim) concatenated into a flat
+    row space split evenly over n_model shards.
+
+    row_offsets: start of each canonical table in the global row space.
+    rows_local: rows per shard (global rows padded to n_model * ROW_ALIGN).
+    """
+
+    n_model: int
+    dim: int
+    rows: tuple
+    row_offsets: tuple
+    rows_local: int
+
+    @property
+    def total_rows(self) -> int:
+        return self.n_model * self.rows_local
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.rows)
+
+
+def make_row_plan(config: DLRMConfig, n_model: int) -> RowShardPlan:
+    dims = set(config.emb_dims)
+    if len(dims) != 1:
+        raise ValueError("row-sharded plan requires homogeneous table dims")
+    offsets, cur = [], 0
+    for n in config.emb_rows:
+        offsets.append(cur)
+        cur += _round_up(n, ROW_ALIGN)
+    rows_local = _round_up(cur, n_model * ROW_ALIGN) // n_model
+    return RowShardPlan(
+        n_model=n_model,
+        dim=dims.pop(),
+        rows=tuple(config.emb_rows),
+        row_offsets=tuple(offsets),
+        rows_local=rows_local,
+    )
+
+
+def build_row_sharded_emb(plan: RowShardPlan, per_table) -> np.ndarray:
+    """[n_model, rows_local, dim] from per-canonical-table weights."""
+    flat = np.zeros((plan.total_rows, plan.dim), np.float32)
+    for t, w in enumerate(per_table):
+        off = plan.row_offsets[t]
+        flat[off : off + w.shape[0]] = np.asarray(w)
+    return flat.reshape(plan.n_model, plan.rows_local, plan.dim)
+
+
+def extract_row_sharded_tables(plan: RowShardPlan, emb: np.ndarray):
+    """Inverse of build_row_sharded_emb (checkpoint export / tests)."""
+    flat = np.asarray(emb).reshape(plan.total_rows, plan.dim)
+    return [
+        flat[off : off + n].copy()
+        for off, n in zip(plan.row_offsets, plan.rows)
+    ]
+
+
+def init_row_sharded_params(
+    config: DLRMConfig, plan: RowShardPlan, seed: int = 123
+) -> Dict:
+    """Same per-table draws as init_dlrm (identical table weights), laid out
+    row-sharded."""
+    rng = np.random.RandomState(seed)
+    per_table = []
+    for n, d in zip(config.emb_rows, config.emb_dims):
+        bound = np.sqrt(1.0 / n)
+        per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
+    emb = build_row_sharded_emb(plan, per_table)
+    return {
+        "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
+        "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
+        "emb": jnp.asarray(emb),
+        "vw": None,
+    }
+
+
+def init_row_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
+    if opt.name == "sgd":
+        return {}
+    dense = {
+        k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
+        for k in ("bot", "top")
+    }
+    emb = params["emb"]
+    acc = (
+        jnp.zeros_like(emb)
+        if opt.name == "adagrad"
+        else jnp.zeros(emb.shape[:2], jnp.float32)
+    )
+    return {"dense": dense, "emb": acc}
+
+
+def shard_row_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
+    p = dict(params)
+    p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    for k in ("bot", "top"):
+        p[k] = [
+            tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+            for layer in params[k]
+        ]
+    s = dict(opt_state)
+    if opt.name != "sgd":
+        s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        s["dense"] = {
+            k: [
+                tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+                for layer in opt_state["dense"][k]
+            ]
+            for k in ("bot", "top")
+        }
+    return p, s
+
+
+def shard_row_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """dense/labels over the flattened ("data","model") batch axis; sparse
+    inputs batch-sharded over "data" and REPLICATED over "model" (every model
+    shard must inspect every index to find its rows)."""
+    return Batch(
+        dense=jax.device_put(batch.dense, NamedSharding(mesh, P(("data", "model")))),
+        indices=jax.device_put(batch.indices, NamedSharding(mesh, P(None, "data"))),
+        weights=jax.device_put(batch.weights, NamedSharding(mesh, P(None, "data"))),
+        labels=jax.device_put(batch.labels, NamedSharding(mesh, P(("data", "model")))),
+    )
+
+
+def _partial_pooled(store, plan: RowShardPlan, gid, weights):
+    """Masked pooled-sum over locally-owned rows.
+    gid: [T, Bd, L] global row ids; returns ([T, Bd, dim], local ids with
+    non-owned entries at the rows_local sentinel)."""
+    m = jax.lax.axis_index("model")
+    base = m * plan.rows_local
+    local = gid - base
+    owned = (local >= 0) & (local < plan.rows_local)
+    w = jnp.where(owned, weights, 0.0)
+    safe = jnp.clip(local, 0, plan.rows_local - 1)
+    t, b, l = gid.shape
+    rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, plan.dim)
+    if l == 1:
+        pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
+    else:
+        pooled = jnp.einsum("tbl,tbld->tbd", w, rows)
+    sent_local = jnp.where(owned & (weights > 0), local, plan.rows_local)
+    return pooled, sent_local.astype(jnp.int32)
+
+
+def make_row_sharded_train_step(
+    config: DLRMConfig,
+    plan: RowShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    lr_fn=None,
+    global_batch: Optional[int] = None,
+):
+    """Returns jitted step(params, opt_state, batch, iteration) ->
+    (params, opt_state, loss). batch must be canonical [T, B, L] sparse
+    layout, sharded with shard_row_batch."""
+    offs = np.asarray(plan.row_offsets, np.int32)
+    n_model = plan.n_model
+
+    def local_step(params, opt_state, batch, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        store = params["emb"][0]  # [rows_local, dim]
+        acc = opt_state["emb"][0] if opt.name != "sgd" else None
+
+        gid = batch.indices + jnp.asarray(offs)[:, None, None]
+        partial, local_ids = _partial_pooled(store, plan, gid, batch.weights)
+        # complete the sum AND split the batch over "model" in one collective
+        pooled = jax.lax.psum_scatter(
+            partial, "model", scatter_dimension=1, tiled=True
+        )  # [T, Bd/n_model, dim]
+
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        bsz_global = (
+            batch.labels.shape[0] * n_total if global_batch is None else global_batch
+        )
+
+        def dense_loss(dense_params, pooled_in):
+            ly = jnp.transpose(pooled_in, (1, 0, 2))  # [b, T, dim]
+            d = config.base_dim
+            if plan.dim != d:
+                k = plan.dim // d
+                b_loc, t_loc = ly.shape[0], ly.shape[1]
+                ly = ly.reshape(b_loc, t_loc, k, d).reshape(b_loc, t_loc * k, d)
+            cdt = jnp.dtype(config.compute_dtype)
+            x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
+            z = interact_features(
+                x, ly, config.interaction, config.interact_itself, cdt
+            )
+            logits = apply_mlp(
+                z, dense_params["top"], config.sigmoid_top, cdt,
+                skip_last_activation=True,
+            )
+            local = loss_fn(
+                logits, batch.labels, config.loss, config.loss_threshold,
+                config.wbce_weights,
+            )
+            return local * (batch.labels.shape[0] / bsz_global)
+
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+            dense_loss, argnums=(0, 1)
+        )(dense_params, pooled)
+        loss = jax.lax.psum(loss_share, ("data", "model"))
+        g_dense = jax.lax.psum(g_dense, ("data", "model"))
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        for k in ("bot", "top"):
+            new_layers, new_acc = [], []
+            for i, (w, b) in enumerate(params[k]):
+                gw, gb = g_dense[k][i]
+                aw, ab = opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+                w2, aw2 = dense_update(opt, w, gw, aw, lr)
+                b2, ab2 = dense_update(opt, b, gb, ab, lr)
+                new_layers.append((w2, b2))
+                new_acc.append((aw2, ab2))
+            new_params[k] = new_layers
+            if opt.name != "sgd":
+                new_state["dense"] = dict(new_state["dense"])
+                new_state["dense"][k] = new_acc
+
+        # transpose of psum_scatter: reassemble the full pooled cotangent
+        g_full = jax.lax.all_gather(
+            g_pooled, "model", axis=1, tiled=True
+        )  # [T, Bd, dim]
+        t, bd, l = batch.indices.shape
+        flat_idx = local_ids.reshape(t * bd * l)
+        flat_g = (batch.weights[..., None] * g_full[:, :, None, :]).reshape(
+            t * bd * l, plan.dim
+        )
+        # table shards are replicated over "data": fold in every data shard's
+        # contributions (same as hybrid.py's all_gather over "data")
+        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
+        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        store2, acc2 = sparse_update(
+            opt, store, acc, flat_idx, flat_g, lr, plan.rows_local
+        )
+        new_params["emb"] = store2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc2[None]
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+        }
+    )
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P(None, "data"),
+        weights=P(None, "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mesh):
+    """Returns jitted eval(params, batch) -> (preds [B,1], loss)."""
+    offs = np.asarray(plan.row_offsets, np.int32)
+
+    def local_eval(params, batch):
+        store = params["emb"][0]
+        gid = batch.indices + jnp.asarray(offs)[:, None, None]
+        partial, _ = _partial_pooled(store, plan, gid, batch.weights)
+        pooled = jax.lax.psum_scatter(
+            partial, "model", scatter_dimension=1, tiled=True
+        )
+        ly = jnp.transpose(pooled, (1, 0, 2))
+        d = config.base_dim
+        if plan.dim != d:
+            k = plan.dim // d
+            b_loc, t_loc = ly.shape[0], ly.shape[1]
+            ly = ly.reshape(b_loc, t_loc, k, d).reshape(b_loc, t_loc * k, d)
+        cdt = jnp.dtype(config.compute_dtype)
+        x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
+        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+        logits = apply_mlp(
+            z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
+        )
+        preds = predictions_from_logits(logits, config.loss_threshold)
+        local = loss_fn(
+            logits, batch.labels, config.loss, config.loss_threshold,
+            config.wbce_weights,
+        )
+        loss = jax.lax.pmean(jax.lax.pmean(local, "data"), "model")
+        return preds, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P(None, "data"),
+        weights=P(None, "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(pspecs, bspecs),
+        out_specs=(P(("data", "model")), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
