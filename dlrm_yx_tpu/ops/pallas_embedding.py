@@ -51,7 +51,10 @@ def _pick_block_b(b: int, l: int) -> int:
     """Batch-tile size: keep the SMEM index block (block_b * l int32) and the
     double-buffered row scratch small."""
     target = max(1, 4096 // max(l, 1))
-    bb = min(b, target, 512)
+    # 256 cap: bb=512 crashes the Mosaic compiler on v5e (remote_compile
+    # HTTP 500, reproduced 2026-08-16); 256 compiles and is within ~2% of
+    # the best measured tile anyway
+    bb = min(b, target, 256)
     while b % bb:
         bb -= 1
     return max(bb, 1)

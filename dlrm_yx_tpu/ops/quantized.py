@@ -18,7 +18,7 @@ int8/int4 storage halves/quarters both HBM footprint and gather bandwidth.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,130 @@ def quantize_model_embeddings(params: dict, groups, bits: int = 8) -> List[Quant
     which drops the fp32 tables afterwards; we return the quantized stores
     and leave dropping to the caller)."""
     return [quantize_store(np.asarray(params["emb"][i]), bits) for i in range(len(groups))]
+
+
+@dataclasses.dataclass
+class QuantizedMLP:
+    """Dynamically-quantized MLP tower for inference.
+
+    Capability parity with the reference's MLP dynamic quantization
+    (``/root/reference/dlrm_s_pytorch.py:1757-1781``,
+    ``torch.quantization.quantize_dynamic`` with qint8 / float16):
+      * 'int8': per-output-channel symmetric int8 weights
+        (scale_c = max|W[:,c]| / 127) with per-batch dynamic activation
+        scaling (scale_x = max|x| / 127) — the int8 x int8 matmul accumulates
+        in int32 on the MXU, then rescales to fp32;
+      * 'fp16': weights stored float16 (memory halved), compute in bf16
+        (TPUs have no fp16 MXU path; bf16 is the native reduced-precision
+        matmul and covers the same intent).
+    """
+
+    layers: List[tuple]  # (qw, w_scale [m], b [m]) per layer
+    mode: str            # 'int8' | 'fp16'
+
+
+def quantize_mlp(layers, mode: str = "int8") -> QuantizedMLP:
+    """Post-training quantization of [(W [n,m], b [m])] fp32 layers."""
+    out = []
+    for w, b in layers:
+        w = np.asarray(w, np.float32)
+        b = np.asarray(b, np.float32)
+        if mode == "int8":
+            scale = np.maximum(np.abs(w).max(axis=0) / 127.0, 1e-12).astype(
+                np.float32
+            )
+            qw = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            out.append((jnp.asarray(qw), jnp.asarray(scale), jnp.asarray(b)))
+        elif mode == "fp16":
+            out.append(
+                (jnp.asarray(w.astype(np.float16)), None, jnp.asarray(b))
+            )
+        else:
+            raise ValueError(f"unknown MLP quant mode {mode!r}")
+    return QuantizedMLP(layers=out, mode=mode)
+
+
+def apply_quantized_mlp(
+    x: jax.Array,
+    qmlp: QuantizedMLP,
+    sigmoid_layer: int = -1,
+    skip_last_activation: bool = False,
+) -> jax.Array:
+    """Inference forward through a quantized tower (ops/mlp.py contract)."""
+    n_layers = len(qmlp.layers)
+    for i, (qw, w_scale, b) in enumerate(qmlp.layers):
+        if qmlp.mode == "int8":
+            # dynamic per-batch activation scale, like quantize_dynamic
+            x_scale = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+            qx = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot(
+                qx, qw, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            y = acc * (x_scale * w_scale) + b
+        else:  # fp16 storage, bf16 MXU compute
+            y = (
+                jnp.dot(
+                    x.astype(jnp.bfloat16),
+                    qw.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                + b
+            )
+        is_last = i == n_layers - 1
+        if is_last and skip_last_activation:
+            return y
+        x = jax.nn.sigmoid(y) if i == sigmoid_layer else jax.nn.relu(y)
+    return x
+
+
+def make_fully_quantized_eval_step(
+    config,
+    groups,
+    qstores: List[QuantizedStore],
+    qbot: Optional[QuantizedMLP] = None,
+    qtop: Optional[QuantizedMLP] = None,
+    jit=True,
+):
+    """Inference with quantized embedding tables AND (optionally) dynamically
+    quantized MLP towers — the reference's full --quantize-emb-with-bit +
+    --quantize-mlp-with-bit inference configuration
+    (dlrm_s_pytorch.py:549-576,1757-1781)."""
+    from dlrm_yx_tpu.models.dlrm import group_indices
+    from dlrm_yx_tpu.ops.interaction import interact_features
+    from dlrm_yx_tpu.ops.losses import predictions_from_logits
+    from dlrm_yx_tpu.ops.mlp import apply_mlp
+
+    def eval_step(params, batch):
+        pooled = []
+        for qs, g in zip(qstores, groups):
+            pooled.append(
+                quantized_lookup_group(
+                    qs, g.row_offsets,
+                    group_indices(g, batch.indices),
+                    group_indices(g, batch.weights),
+                )
+            )
+        from dlrm_yx_tpu.models.dlrm import assemble_slots
+
+        if qbot is not None:
+            x = apply_quantized_mlp(batch.dense, qbot, config.sigmoid_bot)
+        else:
+            x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot)
+        ly = assemble_slots(pooled, groups, config)
+        z = interact_features(
+            x, ly, config.interaction, config.interact_itself
+        )
+        if qtop is not None:
+            logits = apply_quantized_mlp(
+                z, qtop, config.sigmoid_top, skip_last_activation=True
+            )
+        else:
+            logits = apply_mlp(
+                z, params["top"], config.sigmoid_top, skip_last_activation=True
+            )
+        return predictions_from_logits(logits, config.loss_threshold)
+
+    return jax.jit(eval_step) if jit else eval_step
 
 
 def make_quantized_eval_step(config, groups, qstores: List[QuantizedStore], jit=True):

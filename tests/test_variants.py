@@ -222,3 +222,45 @@ def test_cli_qr_and_mlperf(capsys):
     assert "roc_auc" in summary
     out = capsys.readouterr().out
     assert ":::MLLOG" in out
+
+
+# ------------------------------ quantized MLP -----------------------------------
+
+@pytest.mark.parametrize("mode", ["int8", "fp16"])
+def test_fully_quantized_inference_close_to_fp32(mode):
+    """Dynamic MLP quantization + int8 tables vs fp32 inference
+    (dlrm_s_pytorch.py:549-576,1757-1781 capability)."""
+    from dlrm_yx_tpu.ops.quantized import (
+        apply_quantized_mlp,
+        make_fully_quantized_eval_step,
+        quantize_mlp,
+    )
+
+    cfg = DLRMConfig(
+        emb_rows=(300, 200, 100), ln_bot=(13, 64, 8), ln_top=(4 * 3 // 2 + 8, 64, 1)
+    )
+    p = init_dlrm(cfg, seed=1)
+    groups = model_groups(cfg)
+    r = np.random.RandomState(0)
+    b = Batch(
+        dense=jnp.asarray(r.rand(32, 13).astype(np.float32)),
+        indices=jnp.asarray(r.randint(0, 100, (3, 32, 2)).astype(np.int32)),
+        weights=jnp.ones((3, 32, 2), jnp.float32),
+        labels=jnp.asarray((r.rand(32, 1) > 0.5).astype(np.float32)),
+    )
+    ref_preds, _ = make_eval_step(cfg)(p, b)
+    qbot, qtop = quantize_mlp(p["bot"], mode), quantize_mlp(p["top"], mode)
+    qs = quantize_model_embeddings(p, groups, 8)
+    ev = make_fully_quantized_eval_step(cfg, groups, qs, qbot, qtop)
+    preds = ev(p, b)
+    assert float(jnp.max(jnp.abs(preds - ref_preds))) < 0.05
+
+    # tower-level check too
+    y32 = np.asarray(ref_preds)
+    x = jnp.asarray(r.rand(16, 13).astype(np.float32))
+    from dlrm_yx_tpu.ops.mlp import apply_mlp
+
+    yq = apply_quantized_mlp(x, qbot, cfg.sigmoid_bot)
+    yf = apply_mlp(x, p["bot"], cfg.sigmoid_bot)
+    assert float(jnp.max(jnp.abs(yq - yf))) < 0.05 * float(jnp.max(jnp.abs(yf)) + 1)
+    assert y32.shape == (32, 1)
