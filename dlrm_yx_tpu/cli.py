@@ -292,16 +292,53 @@ def main(argv=None):
         tb_logdir=args.tensor_board_filename,
         seed=args.numpy_rand_seed,
     )
-    trainer = Trainer(cfg, opt, tcfg, lr_policy)
+    runner = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+        allocation = (
+            [int(x) for x in args.allocation.replace(",", "-").split("-")]
+            if args.allocation
+            else None
+        )
+        runner = HybridRunner(
+            cfg, opt,
+            data=args.mesh_data,
+            model=args.mesh_model or None,
+            sharder=args.sharder,
+            allocation=allocation,
+            lr_fn=lr_policy,
+            seed=args.numpy_rand_seed,
+        )
+        rank0_print(
+            f"hybrid-parallel mesh {dict(runner.mesh.shape)}, "
+            f"sharder={args.sharder}"
+        )
+    trainer = Trainer(cfg, opt, tcfg, lr_policy, runner=runner)
     train, test = make_data(args, cfg)
 
     if args.debug_mode:
         debug_print_model(cfg, trainer.params, args.print_precision)
 
     if args.inference_only:
-        metrics = trainer.evaluate(test())
+        if args.quantize_emb_with_bit in (4, 8) or args.quantize_mlp_with_bit in (8, 16):
+            metrics = _quantized_inference(args, cfg, trainer, test())
+        else:
+            metrics = trainer.evaluate(test())
         rank0_print("inference metrics:", metrics)
         return metrics
+
+    if args.plot_compute_graph:
+        from dlrm_yx_tpu.export import collect_execution_graph
+        from dlrm_yx_tpu.train.train_step import make_train_step as _mts
+
+        b0 = trainer._prepare(train[0] if hasattr(train, "__getitem__") else next(iter(train)))
+        arts = collect_execution_graph(
+            _mts(cfg, opt, jit=False),
+            (trainer.params, trainer.opt_state, b0, 0),
+            args.profile_out_dir, "train_step",
+        ) if runner is None else {"skipped": "hybrid graph dump not supported"}
+        rank0_print(f"execution graph artifacts: {arts}")
 
     t0 = time.time()
     if args.enable_profiling:
@@ -318,7 +355,83 @@ def main(argv=None):
     if args.debug_mode:
         print("updated parameters (weights and bias):")
         debug_print_model(cfg, trainer.params, args.print_precision)
+
+    if args.save_onnx:
+        # TPU-native analog of the reference's ONNX export
+        # (dlrm_s_pytorch.py:2137-2248): serialize the inference forward as
+        # a portable StableHLO artifact next to the checkpoint
+        from dlrm_yx_tpu.data.batch import Batch as _B
+        from dlrm_yx_tpu.export import export_inference
+
+        if runner is not None:
+            rank0_print("--save-onnx: export uses the single-device forward")
+        b0 = train[0] if hasattr(train, "__getitem__") else next(iter(train))
+        out = (args.save_model or ".") + "/dlrm_tpu.stablehlo"
+        import os as _os
+
+        _os.makedirs(args.save_model or ".", exist_ok=True)
+        export_inference(
+            trainer.params if runner is None else _gather_params(cfg, runner),
+            cfg, _B(*map(np.asarray, b0)), out,
+        )
+        rank0_print(f"saved StableHLO model to {out}")
     return summary
+
+
+def _gather_params(cfg, runner):
+    """Canonical (unsharded) params from a hybrid runner for export."""
+    from dlrm_yx_tpu.models.dlrm import init_dlrm
+    from dlrm_yx_tpu.ops.embedding import build_table_groups
+    from dlrm_yx_tpu.parallel.plan import extract_tables
+
+    tables = extract_tables(runner.plan, cfg, np.asarray(runner.params["emb"]))
+    params = init_dlrm(cfg, seed=0)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    import jax.numpy as _jnp
+
+    for gi, g in enumerate(groups):
+        store = np.zeros((g.total_rows, g.dim), np.float32)
+        for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+            store[off : off + n] = tables[tid]
+        params["emb"][gi] = _jnp.asarray(store)
+    params["bot"] = runner.params["bot"]
+    params["top"] = runner.params["top"]
+    return params
+
+
+def _quantized_inference(args, cfg, trainer, test_batches):
+    """--inference-only with --quantize-emb-with-bit / --quantize-mlp-with-bit
+    (dlrm_s_pytorch.py:549-576,1757-1781)."""
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.ops.quantized import (
+        make_fully_quantized_eval_step,
+        quantize_mlp,
+        quantize_model_embeddings,
+    )
+
+    groups = model_groups(cfg)
+    params = trainer.params
+    qstores = quantize_model_embeddings(
+        params, groups,
+        args.quantize_emb_with_bit if args.quantize_emb_with_bit in (4, 8) else 8,
+    )
+    qbot = qtop = None
+    if args.quantize_mlp_with_bit in (8, 16):
+        mode = "int8" if args.quantize_mlp_with_bit == 8 else "fp16"
+        qbot = quantize_mlp(params["bot"], mode)
+        qtop = quantize_mlp(params["top"], mode)
+    ev = make_fully_quantized_eval_step(cfg, groups, qstores, qbot, qtop)
+    import jax.numpy as _jnp
+
+    from dlrm_yx_tpu.data.batch import Batch as _B
+
+    n_correct = n_total = 0
+    for b in test_batches:
+        preds = np.asarray(ev(params, _B(*map(_jnp.asarray, b)))).ravel()
+        t = np.asarray(b.labels).ravel()
+        n_correct += int(((preds >= 0.5) == (t > 0.5)).sum())
+        n_total += len(t)
+    return {"accuracy": n_correct / max(n_total, 1), "quantized": True}
 
 
 if __name__ == "__main__":

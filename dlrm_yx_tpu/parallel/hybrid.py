@@ -281,6 +281,65 @@ def make_hybrid_train_step(
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+class HybridRunner:
+    """Bundles the hybrid-parallel pieces behind the Trainer's runner
+    interface (params/opt_state init + sharding, batch placement, jitted
+    train/eval steps) so the CLI's --mesh-data/--mesh-model flags drive the
+    same epoch loop as single-device training (the reference selects its
+    parallel path inside DLRM_Net.forward, dlrm_s_pytorch.py:675-684; here
+    the selection is a runner object)."""
+
+    def __init__(
+        self,
+        config: DLRMConfig,
+        opt: OptConfig,
+        data: int = 1,
+        model: Optional[int] = None,
+        sharder: str = "greedy",
+        allocation=None,
+        lr_fn=None,
+        seed: int = 123,
+    ):
+        from dlrm_yx_tpu.parallel.mesh import make_mesh
+        from dlrm_yx_tpu.parallel.plan import arrange_sparse_inputs, make_plan
+
+        self.config = config
+        self.opt = opt
+        self.mesh = make_mesh(data, model)
+        n_model = self.mesh.shape["model"]
+        self.plan = make_plan(config, n_model, sharder, allocation)
+        self._arrange = arrange_sparse_inputs
+        params = init_hybrid_params(config, self.plan, seed)
+        state = init_hybrid_opt_state(opt, params)
+        self.params, self.opt_state = shard_params(self.mesh, params, opt, state)
+        self.train_step = make_hybrid_train_step(
+            config, self.plan, opt, self.mesh, lr_fn
+        )
+        self.eval_step = make_hybrid_eval_step(config, self.plan, self.mesh)
+
+    def prepare_batch(self, b: Batch) -> Batch:
+        n_total = self.mesh.shape["data"] * self.mesh.shape["model"]
+        bsz = np.asarray(b.labels).shape[0]
+        if bsz % n_total or (bsz // self.mesh.shape["data"]) % self.mesh.shape["model"]:
+            raise ValueError(
+                f"batch size {bsz} incompatible with mesh "
+                f"{dict(self.mesh.shape)} (needs B % (data*model) == 0 and "
+                f"(B/data) % model == 0)"
+            )
+        ai, aw = self._arrange(
+            self.plan, np.asarray(b.indices), np.asarray(b.weights)
+        )
+        return shard_batch(
+            self.mesh,
+            Batch(np.asarray(b.dense), ai, aw, np.asarray(b.labels)),
+        )
+
+    def reshard(self, params, opt_state):
+        """Re-place host pytrees (e.g. from a loaded checkpoint) on the
+        mesh."""
+        return shard_params(self.mesh, params, self.opt, opt_state)
+
+
 def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     """Returns jitted eval(params, batch) -> (preds [B,1], loss) with preds
     re-assembled across the mesh (the reference's eval all_gather,

@@ -52,16 +52,30 @@ class Trainer:
         opt: OptConfig,
         tcfg: TrainerConfig,
         lr_policy: Optional[LRPolicy] = None,
+        runner=None,
     ):
+        """runner: optional parallel execution backend (e.g.
+        parallel.hybrid.HybridRunner) providing params/opt_state,
+        train_step/eval_step, prepare_batch and reshard; None = the
+        single-device jitted path."""
         self.config = config
         self.opt = opt
         self.tcfg = tcfg
         self.groups = model_groups(config)
         lr_fn = lr_policy if lr_policy is not None else None
-        self.train_step = make_train_step(config, opt, lr_fn)
-        self.eval_step = make_eval_step(config)
-        self.params = init_dlrm(config, seed=tcfg.seed)
-        self.opt_state = init_opt_state(opt, self.params, self.groups)
+        self.runner = runner
+        if runner is None:
+            self.train_step = make_train_step(config, opt, lr_fn)
+            self.eval_step = make_eval_step(config)
+            self.params = init_dlrm(config, seed=tcfg.seed)
+            self.opt_state = init_opt_state(opt, self.params, self.groups)
+            self._prepare = lambda b: Batch(*map(jnp.asarray, b))
+        else:
+            self.train_step = runner.train_step
+            self.eval_step = runner.eval_step
+            self.params = runner.params
+            self.opt_state = runner.opt_state
+            self._prepare = runner.prepare_batch
         self.events = EventLogger() if tcfg.mlperf_logging else None
         self.writer = ScalarWriter(tcfg.tb_logdir) if tcfg.tb_logdir else None
         self.best_acc = 0.0
@@ -73,6 +87,10 @@ class Trainer:
             self.params, self.opt_state, meta = load_checkpoint(
                 tcfg.load_path, self.params, self.opt_state
             )
+            if runner is not None:
+                self.params, self.opt_state = runner.reshard(
+                    self.params, self.opt_state
+                )
             self.best_acc = meta["metrics"].get("accuracy", 0.0)
             self.iteration = meta["iteration"]
             self._resume_meta = meta
@@ -95,7 +113,7 @@ class Trainer:
         n_correct = 0
         n_total = 0
         for b in test_batches:
-            preds, _ = self.eval_step(self.params, Batch(*map(jnp.asarray, b)))
+            preds, _ = self.eval_step(self.params, self._prepare(b))
             p = np.asarray(preds).ravel()
             t = np.asarray(b.labels).ravel()
             n_correct += int(((p >= 0.5) == (t > 0.5)).sum())
@@ -155,7 +173,7 @@ class Trainer:
                 timer.start()
                 self.params, self.opt_state, loss = self.train_step(
                     self.params, self.opt_state,
-                    Batch(*map(jnp.asarray, b)), self.iteration,
+                    self._prepare(b), self.iteration,
                 )
                 loss = float(loss)  # blocks; keeps timing honest
                 timer.stop()

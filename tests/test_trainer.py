@@ -169,3 +169,44 @@ def test_trainer_with_lr_policy(tmp_path):
     batches = _batches(cfg, 6)
     trainer.fit(batches)
     assert trainer.iteration == 6  # just runs through warmup+decay
+
+
+# ------------------------- hybrid CLI + export/quant CLI ----------------------
+
+def test_cli_hybrid_mesh(tmp_path):
+    """--mesh-data/--mesh-model drive the hybrid-parallel runner from the
+    CLI (the reference's multi-GPU run modes, dlrm_s_pytorch.py:675-684)."""
+    from dlrm_yx_tpu.cli import main
+
+    s = main([
+        "--arch-embedding-size=300-40-500-120", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=17-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=16", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--optimizer=rwsadagrad", "--test-freq=4",
+        "--mesh-data=2", "--mesh-model=4", "--sharder=greedy",
+    ])
+    assert 0.0 <= s["accuracy"] <= 1.0
+
+
+def test_cli_save_onnx_and_quantized_inference(tmp_path):
+    from dlrm_yx_tpu.cli import main
+
+    sm = str(tmp_path / "ckpt")
+    main([
+        "--arch-embedding-size=300-40-500", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=11-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=8", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--test-freq=4", f"--save-model={sm}",
+        "--save-onnx",
+    ])
+    import os
+
+    assert os.path.getsize(os.path.join(sm, "dlrm_tpu.stablehlo")) > 0
+    m = main([
+        "--arch-embedding-size=300-40-500", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=11-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=8", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--inference-only", f"--load-model={sm}",
+        "--quantize-emb-with-bit=8", "--quantize-mlp-with-bit=8",
+    ])
+    assert m.get("quantized") is True
