@@ -107,6 +107,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--allocation", type=str, default="",
                    help="comma/dash-separated table->device ids for --sharder=input")
     p.add_argument("--lookup-impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--sparse-update-impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="pallas = row-RMW kernel for big-table updates "
+                        "(ops/pallas_sparse_update.py)")
+    p.add_argument("--emb-split-threshold", type=int, default=65536,
+                   help="tables with more rows get their own group stores "
+                        "(kernel-updated); 0 disables splitting")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     # debugging and profiling
@@ -173,6 +180,8 @@ def config_from_args(args) -> DLRMConfig:
         weighted_pooling=args.weighted_pooling,
         compute_dtype=args.compute_dtype,
         lookup_impl=args.lookup_impl,
+        sparse_update_impl=args.sparse_update_impl,
+        emb_split_threshold=args.emb_split_threshold,
     )
 
 

@@ -61,6 +61,17 @@ class DLRMConfig:
     # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
     # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
     lookup_impl: str = "xla"
+    # sparse optimizer update path: 'xla' = scatter-add (XLA:TPU rewrites the
+    # whole store every step — exact but slow for multi-GB stores); 'pallas'
+    # = row-RMW kernel touching only updated rows (~40 ns/row,
+    # ops/pallas_sparse_update.py; adagrad-family momentum accumulates
+    # per-occurrence on duplicate rows, matching fbgemm's approx-rowwise
+    # behavior — identical to 'xla' when rows are unique within a step)
+    sparse_update_impl: str = "xla"
+    # tables with rows <= this go into separate small group stores whose XLA
+    # scatter is cheap; bigger tables' stores route through the RMW kernel
+    # when sparse_update_impl='pallas' (0 disables splitting)
+    emb_split_threshold: int = 65536
     # QR compositional embeddings for tables with rows > qr_threshold
     # (--qr-flag/--qr-threshold/--qr-collisions/--qr-operation,
     # dlrm_s_pytorch.py:282-290)

@@ -40,9 +40,10 @@ from dlrm_yx_tpu.ops.qr_embedding import QRSpec, init_qr, qr_lookup
 
 
 def model_groups(config: DLRMConfig) -> List[TableGroup]:
-    """Dim-groups over the regular (non-QR) tables."""
+    """(dim, size-class)-groups over the regular (non-QR) tables."""
     return build_table_groups(
-        config.emb_rows, config.emb_dims, config.regular_table_ids
+        config.emb_rows, config.emb_dims, config.regular_table_ids,
+        small_threshold=config.emb_split_threshold or None,
     )
 
 

@@ -34,6 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 ROW_ALIGN = 8  # pad each table's row block so tables start sublane-aligned
+SENTINEL_ROWS = 8  # dead rows at the end of every group store: redirect
+                   # target for the pallas sparse-update kernel's masked
+                   # items (ops/pallas_sparse_update.py)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,19 +71,31 @@ def build_table_groups(
     emb_rows: Sequence[int],
     emb_dims: Sequence[int],
     table_ids: Optional[Sequence[int]] = None,
+    small_threshold: Optional[int] = None,
 ) -> List[TableGroup]:
     """Group tables by dim; compute aligned flat-array row offsets.
     table_ids restricts to a subset of canonical tables (e.g. the non-QR
-    tables; QR tables get their own compositional stores)."""
+    tables; QR tables get their own compositional stores).
+
+    small_threshold: when set, tables are additionally split into
+    (rows <= threshold) and (rows > threshold) groups per dim. Small-table
+    stores stay small enough that XLA's full-store-rewrite scatter is cheap
+    and exactly coalescing, while big-table stores route through the pallas
+    row-RMW kernel — see ops/pallas_sparse_update.py.
+
+    Every group store carries SENTINEL_ROWS dead rows at the end (never
+    looked up; scratch target for masked kernel updates)."""
     if table_ids is None:
         table_ids = range(len(emb_rows))
-    by_dim = {}
+    by_key = {}
     for t in table_ids:
         n, d = emb_rows[t], emb_dims[t]
-        by_dim.setdefault(int(d), []).append((int(t), int(n)))
+        size_class = 0 if small_threshold is None or n <= small_threshold else 1
+        by_key.setdefault((int(d), size_class), []).append((int(t), int(n)))
     groups = []
-    for d in sorted(by_dim):
-        entries = by_dim[d]
+    for key in sorted(by_key):
+        d, _ = key
+        entries = by_key[key]
         offsets, cur = [], 0
         for _, n in entries:
             offsets.append(cur)
@@ -91,7 +106,7 @@ def build_table_groups(
                 rows=tuple(n for _, n in entries),
                 dim=d,
                 row_offsets=tuple(offsets),
-                total_rows=cur,
+                total_rows=cur + SENTINEL_ROWS,
             )
         )
     return groups

@@ -1,0 +1,226 @@
+"""Sparse embedding-row update as a pipelined read-modify-write Pallas kernel.
+
+Why this exists: XLA:TPU lowers ``store.at[idx].add(upd)`` on a large
+``[R, D]`` table as a fusion that REWRITES THE ENTIRE STORE every step
+(profiled on v5e: 3.9 ms for a 3.6 GB store regardless of how few rows are
+touched, with or without uniqueness/sortedness hints). The reference solves
+the same problem on GPU with fused optimizer kernels doing in-place atomic
+row updates (fbgemm's ``SplitTableBatchedEmbeddingBagsCodegen`` and the
+``TableBatchedEmbeddingBags`` SGD fused backward, SURVEY.md §2.3). This
+kernel is the TPU equivalent: per-row DMA read -> VPU add -> DMA write back,
+software-pipelined over a W-deep slot window, touching ONLY the K updated
+rows (~40 ns/row measured on v5e vs a 3.9 ms full rewrite).
+
+The steady-state loop is branch-free — no per-item flag checks, which
+measured 2-4x slower (TPU scalar-core branches stall DMA issue). Masked
+items (padding, zero grads) and DUPLICATE rows inside the 2W-item hazard
+window are handled OUTSIDE the kernel, vectorized on the VPU:
+  * masked/conflicted items are redirected to a dead sentinel row at the end
+    of the store (ops/embedding.SENTINEL_ROWS) with a zero update — the
+    races they could cause only ever rewrite the sentinel row;
+  * the (rare) conflicted items are then applied EXACTLY afterwards by a
+    short serialized loop over a fixed-size gathered buffer; if an
+    adversarial input overflows it, a cond falls back to the exact XLA
+    scatter for those items. Random indices into millions of rows conflict
+    ~0.5 times per step; tiny dup-heavy tables belong in small group stores
+    (ops/embedding.build_table_groups small_threshold) where XLA scatter is
+    cheap and exactly coalescing.
+
+The reference's correctness anchor for duplicates is grad.coalesce()
+(optim/rwsadagrad.py:98); here row updates are pure additions (optimizer
+math pre-applied in XLA), so duplicate handling is linear and exact.
+
+D must be a multiple of 128 (lanes); rows with D = k*128 move as single
+[k, 128] tile DMAs. Other dims use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+W = 32          # in-flight read AND write window depth
+BK = 4096       # items per grid block
+WINDOW = 2 * W  # hazard look-back distance (items)
+CMAX = 256      # serialized-pass capacity for conflicted items
+
+
+def supports_dim(d: int) -> bool:
+    return d % LANES == 0
+
+
+def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
+    """Flag item k if any of the previous WINDOW-1 ACTIVE items updates the
+    same row (vectorized shifts + compares; no sort)."""
+    k = idx.shape[0]
+    pos = jnp.arange(k, dtype=jnp.int32)
+    c = jnp.zeros((k,), jnp.bool_)
+    for j in range(1, WINDOW):
+        c = c | (
+            (idx == jnp.roll(idx, j)) & (jnp.roll(active, j) > 0) & (pos >= j)
+        )
+    return (c & (active > 0)).astype(jnp.int32)
+
+
+def _kernel(idx_ref, upd_ref, store_ref, out_ref, rrow, wrow, rsem, wsem,
+            *, bk: int, kk: int):
+    """One grid block of bk items; branch-free steady state.
+
+    idx_ref: SMEM [bk] physical tile-row ids (row * kk; masked items point
+    at the sentinel row with a zero update). upd_ref: VMEM [bk, kk, LANES].
+    All row DMA goes through out_ref: on TPU it is the same buffer as
+    store_ref (input_output_aliases); in interpret mode (copy-in/copy-out)
+    reads must see earlier writes.
+    """
+    del store_ref
+
+    def read(slot, s):
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(idx_ref[s], kk)], rrow.at[slot], rsem.at[slot]
+        ).start()
+
+    def wait_read(slot):
+        pltpu.make_async_copy(
+            out_ref.at[pl.ds(0, kk)], rrow.at[slot], rsem.at[slot]
+        ).wait()
+
+    def write(slot, s):
+        pltpu.make_async_copy(
+            wrow.at[slot], out_ref.at[pl.ds(idx_ref[s], kk)], wsem.at[slot]
+        ).start()
+
+    def wait_write(slot):
+        pltpu.make_async_copy(
+            wrow.at[slot], out_ref.at[pl.ds(0, kk)], wsem.at[slot]
+        ).wait()
+
+    for s in range(W):  # prologue: fill the read pipeline
+        read(s, s)
+
+    def body1(s, _):  # first W items: no writes pending yet
+        slot = s % W
+        wait_read(slot)
+        wrow[slot] = rrow[slot] + upd_ref[s]
+        write(slot, s)
+        read(slot, s + W)  # bk >= 2W, so s + W < bk
+        return 0
+
+    jax.lax.fori_loop(0, W, body1, 0)
+
+    def body2(s, _):  # steady state: zero branches in the hot path
+        slot = s % W
+        wait_read(slot)
+        wait_write(slot)  # write issued W items ago on this slot
+        wrow[slot] = rrow[slot] + upd_ref[s]
+        write(slot, s)
+
+        @pl.when(s + W < bk)
+        def _():
+            read(slot, s + W)
+
+        return 0
+
+    jax.lax.fori_loop(W, bk, body2, 0)
+    for s in range(W):  # drain writes (also orders cross-block hazards)
+        wait_write(s)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sparse_rows_add(
+    store: jax.Array,
+    idx: jax.Array,
+    upd: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """In-place ``store[idx[k]] += upd[k]`` for active items, touching only
+    the updated rows (plus the sentinel row).
+
+    store: [R, D] float32, D % 128 == 0; the LAST row must be dead (every
+      group store built by ops/embedding.build_table_groups ends with
+      SENTINEL_ROWS dead rows). The caller should donate the buffer.
+    idx: [K] int32 row ids in [0, R) (any value OK for inactive items).
+    upd: [K, D] float32 update rows (optimizer math pre-applied).
+    active: [K] int32/bool; 0 = skip (padding slots, dropped sentinels).
+    Returns the updated store (aliased with the input buffer).
+    """
+    r, d = store.shape
+    k = idx.shape[0]
+    if not supports_dim(d):
+        raise ValueError(f"sparse_rows_add requires D % {LANES} == 0, got {d}")
+    kk = d // LANES
+    store_phys = store.reshape(r * kk, LANES)
+
+    active = active.astype(jnp.int32)
+    safe_idx = jnp.where(active > 0, jnp.clip(idx, 0, r - 2), r - 1).astype(
+        jnp.int32
+    )
+    is_conf = conflict_flags(safe_idx, active)
+    redirect = (active == 0) | (is_conf > 0)
+    main_idx = jnp.where(redirect, r - 1, safe_idx)
+    main_upd = jnp.where(redirect[:, None], 0.0, upd)
+    phys_idx = (main_idx * kk).astype(jnp.int32)
+
+    bk = max(2 * W, min(BK, k))
+    pad = (-k) % bk
+    if pad:
+        phys_idx = jnp.pad(phys_idx, (0, pad), constant_values=(r - 1) * kk)
+        main_upd = jnp.pad(main_upd, ((0, pad), (0, 0)))
+        k += pad
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, bk=bk, kk=kk),
+        grid=(k // bk,),
+        in_specs=[
+            pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (bk, kk, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(store_phys.shape, store_phys.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((W, kk, LANES), jnp.float32),
+            pltpu.VMEM((W, kk, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((W,)),
+            pltpu.SemaphoreType.DMA((W,)),
+        ],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(phys_idx, main_upd.reshape(k, kk, LANES), store_phys)
+    out = out.reshape(r, d)
+
+    # exact tail pass for the redirected (conflicted) items
+    nconf = jnp.sum(is_conf)
+    _, conf_pos = jax.lax.top_k(is_conf, min(CMAX, is_conf.shape[0]))
+    conf_act = jnp.take(is_conf, conf_pos)
+    conf_idx = jnp.where(conf_act > 0, jnp.take(safe_idx, conf_pos), r - 1)
+    conf_upd = jnp.take(upd, conf_pos, axis=0) * conf_act[:, None]
+
+    def apply_seq(s):
+        def b(i, s):
+            row = conf_idx[i]
+            return jax.lax.dynamic_update_index_in_dim(
+                s,
+                jax.lax.dynamic_index_in_dim(s, row, 0, False) + conf_upd[i],
+                row,
+                0,
+            )
+
+        return jax.lax.fori_loop(0, jnp.minimum(nconf, CMAX), b, s)
+
+    def fallback(s):
+        # adversarial overflow: exact XLA scatter of ALL conflicted items
+        all_idx = jnp.where(is_conf > 0, safe_idx, r - 1)
+        return s.at[all_idx].add(upd * is_conf[:, None], mode="drop")
+
+    return jax.lax.cond(nconf <= CMAX, apply_seq, fallback, out)

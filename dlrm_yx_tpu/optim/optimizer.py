@@ -91,6 +91,11 @@ def dense_update(
     return p - lr * g / (jnp.sqrt(acc) + opt.eps), acc
 
 
+# use the row-RMW kernel only when the XLA full-store rewrite would be
+# expensive; small stores scatter fast and exactly in XLA
+PALLAS_MIN_STORE_BYTES = 64 << 20
+
+
 def sparse_update(
     opt: OptConfig,
     store: jax.Array,
@@ -99,15 +104,87 @@ def sparse_update(
     flat_g: jax.Array,
     lr,
     sentinel: int,
+    impl: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
     store: [R, D]; flat_idx: [K] row ids (duplicates allowed, sentinel = R
     for padding); flat_g: [K, D] gradient contributions.
+
+    impl='pallas' routes large stores through the row-RMW kernel
+    (ops/pallas_sparse_update.py). SGD stays exact (linear). For
+    adagrad/rwsadagrad the momentum accumulates per-OCCURRENCE on rows
+    duplicated within one step (fbgemm approx-rowwise style) instead of
+    coalesce-then-square; identical whenever a row appears once per step —
+    the overwhelmingly common case for the big hashed tables this path is
+    gated to (PALLAS_MIN_STORE_BYTES).
     """
+    from dlrm_yx_tpu.ops import pallas_sparse_update as psu
+
+    use_kernel = (
+        impl == "pallas"
+        and psu.supports_dim(store.shape[1])
+        and store.shape[0] * store.shape[1] * 4 >= PALLAS_MIN_STORE_BYTES
+    )
+    if use_kernel:
+        active = (flat_idx < sentinel).astype(jnp.int32)
+        if opt.name == "sgd":
+            return (
+                psu.sparse_rows_add(
+                    store, flat_idx, -lr * flat_g, active, interpret=interpret
+                ),
+                acc,
+            )
+        safe = jnp.where(active > 0, flat_idx, sentinel)
+        if opt.name == "adagrad":
+            acc = psu.sparse_rows_add(
+                acc, flat_idx, flat_g * flat_g, active, interpret=interpret
+            )
+            denom = (
+                jnp.sqrt(jnp.take(acc, safe, axis=0, mode="fill", fill_value=1.0))
+                + opt.eps
+            )
+            return (
+                psu.sparse_rows_add(
+                    store, flat_idx, -lr * flat_g / denom, active,
+                    interpret=interpret,
+                ),
+                acc,
+            )
+        # rwsadagrad: 1-D per-row momentum — the [R] scatter is a cheap
+        # full rewrite (4 bytes/row), no kernel needed
+        mom_inc = jnp.mean(flat_g * flat_g, axis=-1) * active
+        acc = acc.at[safe].add(mom_inc, mode="drop")
+        denom = (
+            jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
+        )
+        return (
+            psu.sparse_rows_add(
+                store, flat_idx, -lr * flat_g / denom[:, None], active,
+                interpret=interpret,
+            ),
+            acc,
+        )
+
     if opt.name == "sgd":
         # linear update: scatter-add handles duplicates exactly
         return store.at[flat_idx].add(-lr * flat_g, mode="drop"), acc
+
+    if store.shape[0] * store.shape[1] * 4 < PALLAS_MIN_STORE_BYTES:
+        # small store: dense-accumulate instead of sort-based coalescing.
+        # The scatter into a zero buffer IS the coalesced gradient (XLA's
+        # full-store rewrite is cheap at this size and exact on duplicates);
+        # untouched rows see zero grad, so the Adagrad-family update is a
+        # no-op for them — identical semantics, no 36k-key sort (~2 ms on
+        # v5e) in the hot path.
+        dense_g = jnp.zeros_like(store).at[flat_idx].add(flat_g, mode="drop")
+        if opt.name == "adagrad":
+            acc = acc + dense_g * dense_g
+            return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps), acc
+        mom = jnp.mean(dense_g * dense_g, axis=-1)
+        acc = acc + mom
+        return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps)[:, None], acc
 
     uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
     if opt.name == "adagrad":

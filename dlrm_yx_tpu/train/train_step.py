@@ -33,6 +33,13 @@ from dlrm_yx_tpu.models.dlrm import (
 from dlrm_yx_tpu.ops.embedding import flat_row_grads, vw_row_grads
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.qr_embedding import qr_row_grads
+def _interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (CPU test meshes)."""
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
+
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
@@ -101,8 +108,14 @@ def apply_gradients(
             q_acc, r_acc = (
                 opt_state["qr"][i] if opt.name != "sgd" else (None, None)
             )
-            q2, q_acc2 = sparse_update(opt, q, q_acc, qi, gq, lr, spec.q_rows)
-            r2, r_acc2 = sparse_update(opt, r, r_acc, ri, gr, lr, spec.collisions)
+            q2, q_acc2 = sparse_update(
+                opt, q, q_acc, qi, gq, lr, spec.q_rows,
+                impl=config.sparse_update_impl, interpret=_interpret(),
+            )
+            r2, r_acc2 = sparse_update(
+                opt, r, r_acc, ri, gr, lr, spec.collisions,
+                impl=config.sparse_update_impl, interpret=_interpret(),
+            )
             new_qr.append((q2, r2))
             new_qr_acc.append((q_acc2, r_acc2))
         new_params["qr"] = new_qr
@@ -122,7 +135,8 @@ def apply_gradients(
         fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled[gi], vw_g)
         acc = opt_state["emb"][gi] if opt.name != "sgd" else None
         store2, acc2 = sparse_update(
-            opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows
+            opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
+            impl=config.sparse_update_impl, interpret=_interpret(),
         )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
