@@ -233,15 +233,63 @@ def make_hybrid_train_step(
 
         # ----- sparse updates: gather full-batch row grads over "data" -----
         t, bd, l = batch.indices.shape
-        flat_idx = gidx.reshape(t * bd * l)
-        flat_g = (batch.weights[..., None] * g_pooled[:, :, None, :]).reshape(
-            t * bd * l, plan.dim
+        w_g = batch.weights[..., None] * g_pooled[:, :, None, :]  # [t,bd,l,dim]
+        interp = jax.default_backend() != "tpu"
+        use_partition = (
+            config.sparse_update_impl == "pallas" and plan.r_small > 0
         )
-        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
-        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
-        store2, acc2 = sparse_update(
-            opt, store, acc, flat_idx, flat_g, lr, plan.r_pad
-        )
+
+        def gathered(slot_lo, slot_hi):
+            fi = gidx[slot_lo:slot_hi].reshape(-1)
+            fg = w_g[slot_lo:slot_hi].reshape(-1, plan.dim)
+            return (
+                jax.lax.all_gather(fi, "data", tiled=True),
+                jax.lax.all_gather(fg, "data", tiled=True),
+            )
+
+        if not use_partition:
+            flat_idx, flat_g = gathered(0, t)
+            store2, acc2 = sparse_update(
+                opt, store, acc, flat_idx, flat_g, lr, plan.r_pad,
+                impl=config.sparse_update_impl, interpret=interp,
+            )
+        else:
+            # big tables (slots [0, n_big_slots), rows [0, r_big)) through
+            # the row-RMW kernel; small tables (rows [r_big, r_big+r_small))
+            # through exact dense accumulation on the slice — mirrors the
+            # single-device small/large group split
+            nb = plan.n_big_slots
+            if nb > 0:
+                idx_b, g_b = gathered(0, nb)
+                store2, acc2 = sparse_update(
+                    opt, store, acc, idx_b, g_b, lr, plan.r_pad,
+                    impl="pallas", interpret=interp,
+                )
+            else:
+                store2, acc2 = store, acc
+            idx_s, g_s = gathered(nb, t)
+            lo, ns = plan.r_big, plan.r_small
+            local = idx_s - lo
+            valid = (local >= 0) & (local < ns)
+            slot = jnp.where(valid, local, ns)
+            dense_g = jnp.zeros((ns, plan.dim), store.dtype).at[slot].add(
+                g_s, mode="drop"
+            )
+            if opt.name == "sgd":
+                store2 = store2.at[lo : lo + ns].add(-lr * dense_g)
+            elif opt.name == "adagrad":
+                acc_sl = acc2[lo : lo + ns] + dense_g * dense_g
+                acc2 = acc2.at[lo : lo + ns].set(acc_sl)
+                store2 = store2.at[lo : lo + ns].add(
+                    -lr * dense_g / (jnp.sqrt(acc_sl) + opt.eps)
+                )
+            else:  # rwsadagrad
+                mom = jnp.mean(dense_g * dense_g, axis=-1)
+                acc_sl = acc2[lo : lo + ns] + mom
+                acc2 = acc2.at[lo : lo + ns].set(acc_sl)
+                store2 = store2.at[lo : lo + ns].add(
+                    -lr * dense_g / (jnp.sqrt(acc_sl) + opt.eps)[:, None]
+                )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             new_state["emb"] = acc2[None]

@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.ops.embedding import SENTINEL_ROWS
 from dlrm_yx_tpu.parallel.sharders import shard
 
 ROW_ALIGN = 8
@@ -55,6 +56,14 @@ class ShardingPlan:
     row_offsets: Tuple[int, ...]
     r_pad: int
     dim: int
+    # big/small partition (uniform across shards, so shard_map code can
+    # statically split slots): slots [0, n_big_slots) hold big tables (or
+    # padding), rows [0, r_big) hold them; slots/rows after hold small
+    # tables. Small tables are updated by exact dense accumulation, big
+    # tables by the pallas row-RMW kernel (sparse_update_impl='pallas').
+    n_big_slots: int = 0
+    r_big: int = 0
+    r_small: int = 0
 
     @property
     def num_tables(self) -> int:
@@ -75,30 +84,50 @@ def make_plan(
         )
     dim = dims.pop()
     rows = config.emb_rows
+    thr = config.emb_split_threshold or 0
     table_device = shard(rows, n_model, alg, allocation)
 
-    per_dev: List[List[int]] = [[] for _ in range(n_model)]
+    # per shard: big tables first, then small — the slot partition must be
+    # UNIFORM across shards (shard_map code is SPMD), so both sections are
+    # padded to the max over shards
+    per_big: List[List[int]] = [[] for _ in range(n_model)]
+    per_small: List[List[int]] = [[] for _ in range(n_model)]
     for t, d in enumerate(table_device):
-        per_dev[d].append(t)
-    t_pad = max(len(ts) for ts in per_dev)
+        (per_big if thr and rows[t] > thr else per_small)[d].append(t)
+    n_big_slots = max(len(ts) for ts in per_big)
+    n_small_slots = max(len(ts) for ts in per_small)
+    t_pad = n_big_slots + n_small_slots
 
-    # per-shard flat-store row layout
-    r_pad = 0
-    dev_offsets: List[List[int]] = []
-    for ts in per_dev:
-        offs, cur = [], 0
-        for t in ts:
-            offs.append(cur)
-            cur += _round_up(rows[t], ROW_ALIGN)
-        dev_offsets.append(offs)
-        r_pad = max(r_pad, cur)
+    def layout(per_dev, base):
+        """Row offsets per shard starting at base; returns (offsets, extent)."""
+        extent = 0
+        out = []
+        for ts in per_dev:
+            offs, cur = [], base
+            for t in ts:
+                offs.append(cur)
+                cur += _round_up(rows[t], ROW_ALIGN)
+            out.append(offs)
+            extent = max(extent, cur - base)
+        return out, extent
+
+    big_offsets, r_big = layout(per_big, 0)
+    small_offsets, r_small = layout(per_small, r_big)
+    # + dead sentinel rows at the end of every shard store: redirect target
+    # for the pallas sparse-update kernel (ops/pallas_sparse_update.py)
+    r_pad = r_big + r_small + SENTINEL_ROWS
 
     device_table_order: List[int] = []
     row_offsets: List[int] = []
     for d in range(n_model):
-        ts, offs = per_dev[d], dev_offsets[d]
-        device_table_order.extend(ts + [-1] * (t_pad - len(ts)))
-        row_offsets.extend(offs + [r_pad] * (t_pad - len(ts)))
+        device_table_order.extend(
+            per_big[d] + [-1] * (n_big_slots - len(per_big[d]))
+            + per_small[d] + [-1] * (n_small_slots - len(per_small[d]))
+        )
+        row_offsets.extend(
+            big_offsets[d] + [r_pad] * (n_big_slots - len(per_big[d]))
+            + small_offsets[d] + [r_pad] * (n_small_slots - len(per_small[d]))
+        )
 
     canonical_gather = [0] * len(rows)
     for pos, t in enumerate(device_table_order):
@@ -114,6 +143,9 @@ def make_plan(
         row_offsets=tuple(row_offsets),
         r_pad=r_pad,
         dim=dim,
+        n_big_slots=n_big_slots,
+        r_big=r_big,
+        r_small=r_small,
     )
 
 

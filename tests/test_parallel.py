@@ -221,3 +221,37 @@ def test_hybrid_wide_table_slots():
         p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
         l2.append(float(loss))
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_with_pallas_sparse_update():
+    """Hybrid step with sparse_update_impl='pallas': shard stores above the
+    kernel size gate must train identically to the xla impl (kernel runs in
+    interpret mode on the CPU mesh)."""
+    import dataclasses
+
+    # one big table per shard so each [r_pad, 128] store crosses 64 MB
+    cfg = DLRMConfig(
+        emb_rows=(1 << 17, (1 << 17) + 8, 300, 40),
+        ln_bot=(4, 8, 128),
+        ln_top=(5 * 4 // 2 + 128, 8, 1),
+    )
+    cfg_p = dataclasses.replace(cfg, sparse_update_impl="pallas")
+    opt = OptConfig("sgd", 0.1)
+    batches = _make_batches(cfg, n_batches=2, b=8, l=1, seed=3)
+    mesh = make_mesh(1, 2)
+    results = []
+    for c in (cfg, cfg_p):
+        plan = make_plan(c, n_model=2, alg="greedy")
+        p = init_hybrid_params(c, plan, seed=11)
+        p, s = shard_params(mesh, p, opt, {})
+        step = make_hybrid_train_step(c, plan, opt, mesh)
+        ls = []
+        for it, b in enumerate(batches):
+            ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+            p, s, loss = step(p, s, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
+            ls.append(float(loss))
+        results.append((ls, np.asarray(p["emb"])))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        results[0][1][:, :-8], results[1][1][:, :-8], rtol=1e-5, atol=1e-6
+    )
