@@ -117,3 +117,40 @@ def load_processed(path_dir: str) -> Tuple[dict, List[Batch]]:
             for i in range(n)
         ]
     return tc, batches
+
+
+def main(argv=None):
+    """CLI mirroring the reference's processed-dataset generator
+    (``/root/reference/gen_synthetic_data.py:113-158``): random table
+    configs + pre-generated batches saved for --load-processed."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="Generate a processed dataset")
+    p.add_argument("--T", type=int, default=12)
+    p.add_argument("--m-den", type=int, default=512)
+    p.add_argument("--num-batches", type=int, default=10)
+    p.add_argument("--mini-batch-size", type=int, default=2048)
+    p.add_argument("--row-range", type=str, default="500,10000")
+    p.add_argument("--dim-range", type=str, default="64,128,256,512")
+    p.add_argument("--pooling-factor-range", type=str, default="10,500")
+    p.add_argument("--out-dir", type=str, default="synthetic")
+    p.add_argument("--seed", type=int, default=123)
+    args = p.parse_args(argv)
+
+    rows = tuple(int(x) for x in args.row_range.split(","))
+    dims = tuple(int(x) for x in args.dim_range.split(","))
+    pools = tuple(int(x) for x in args.pooling_factor_range.split(","))
+    cfgs = gen_table_configs(
+        args.T, row_range=rows, dim_choices=dims, pooling_range=pools,
+        rng=np.random.RandomState(args.seed),
+    )
+    batches = generate_processed_data(
+        cfgs, args.m_den, args.num_batches, args.mini_batch_size,
+        seed=args.seed + 1,
+    )
+    save_processed(args.out_dir, cfgs, batches)
+    print(f"wrote {args.num_batches} batches x {args.T} tables to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

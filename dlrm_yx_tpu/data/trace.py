@@ -212,3 +212,43 @@ def make_trace_batches(
         labels = rng.rand(mini_batch_size, 1).astype(np.float32)
         batches.append(Batch(dense, indices, weights, labels))
     return batches
+
+
+def main(argv=None):
+    """CLI mirroring the reference's synthetic-distribution generator
+    (``/root/reference/dlrm_data_pytorch.py:1487-1552``): profile a trace
+    into a stack-distance distribution file, then regenerate a synthetic
+    trace from it via the LRU stack (Hassan et al. AINAM'07)."""
+    import argparse
+
+    import numpy as np
+
+    p = argparse.ArgumentParser(description="Generate Synthetic Distributions")
+    p.add_argument("--trace-file", type=str, default="./input/trace.log")
+    p.add_argument("--trace-file-binary-type", type=bool, default=False)
+    p.add_argument("--trace-enable-padding", type=bool, default=False)
+    p.add_argument("--dist-file", type=str, default="./input/dist.log")
+    p.add_argument("--synthetic-file", type=str,
+                   default="./input/trace_synthetic.log")
+    p.add_argument("--numpy-rand-seed", type=int, default=123)
+    p.add_argument("--print-precision", type=int, default=5)
+    args = p.parse_args(argv)
+    np.random.seed(args.numpy_rand_seed)
+    np.set_printoptions(precision=args.print_precision)
+
+    trace = read_trace_file(args.trace_file, args.trace_file_binary_type)
+    uniques, distances, _ = trace_profile(trace)
+    list_sd, cumm_sd = dist_from_distances(distances)
+    write_dist_file(args.dist_file, uniques, list_sd, cumm_sd)
+    synthetic = trace_generate_lru(
+        uniques, list_sd, cumm_sd, len(trace),
+        enable_padding=args.trace_enable_padding,
+    )
+    write_trace_file(args.synthetic_file, synthetic,
+                     args.trace_file_binary_type)
+    print(f"profiled {len(trace)} accesses -> {args.dist_file} "
+          f"({len(uniques)} uniques); synthetic -> {args.synthetic_file}")
+
+
+if __name__ == "__main__":
+    main()

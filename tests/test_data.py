@@ -278,3 +278,62 @@ def test_csr_padded_roundtrip():
 def test_transform_dense_log():
     x = np.array([[0, 1, 9]], dtype=np.int32)
     np.testing.assert_allclose(transform_dense(x), np.log(x + 1.0), rtol=1e-6)
+
+
+# ---------------------- generator CLIs + fixtures ---------------------------
+
+def test_trace_cli_roundtrip(tmp_path):
+    """python -m dlrm_yx_tpu.data.trace profiles a trace and regenerates a
+    synthetic one (dlrm_data_pytorch.py:1487-1552 CLI parity)."""
+    import numpy as np
+
+    from dlrm_yx_tpu.data.trace import main as trace_main
+    from dlrm_yx_tpu.data.trace import read_dist_file, read_trace_file, write_trace_file
+
+    rng = np.random.RandomState(3)
+    trace = (rng.zipf(1.5, 500) % 40).tolist()
+    tf = str(tmp_path / "trace.log")
+    write_trace_file(tf, trace)
+    df = str(tmp_path / "dist.log")
+    sf = str(tmp_path / "synth.log")
+    trace_main(["--trace-file", tf, "--dist-file", df, "--synthetic-file", sf])
+    uniques, sd, cum = read_dist_file(df)
+    assert len(uniques) == len(set(trace))
+    assert abs(cum[-1] - 1.0) < 1e-6
+    synth = read_trace_file(sf)
+    assert len(synth) == len(trace)
+    assert set(synth) <= set(range(max(trace) + 1))
+
+
+def test_processed_cli(tmp_path):
+    """python -m dlrm_yx_tpu.data.processed == gen_synthetic_data.py CLI."""
+    from dlrm_yx_tpu.data.processed import load_processed, main as proc_main
+
+    out = str(tmp_path / "ds")
+    proc_main([
+        "--T", "3", "--m-den", "8", "--num-batches", "2",
+        "--mini-batch-size", "4", "--row-range", "50,100",
+        "--dim-range", "8", "--pooling-factor-range", "2,5",
+        "--out-dir", out,
+    ])
+    cfgs, batches = load_processed(out)
+    assert len(batches) == 2
+    assert batches[0].dense.shape == (4, 8)
+    assert batches[0].indices.shape[0] == 3
+
+
+def test_repo_fixtures_usable():
+    """input/dist_emb_j.log fixtures drive the synthetic data path (the
+    reference ships equivalent fixtures, SURVEY.md §4)."""
+    import os
+
+    from dlrm_yx_tpu.data.trace import make_trace_batches
+
+    if not os.path.exists("input/dist_emb_0.log"):
+        import pytest
+
+        pytest.skip("fixtures not present")
+    batches = make_trace_batches(
+        "input/dist_emb_j.log", [50, 79, 89], 4, 4, 2, 3
+    )
+    assert len(batches) == 2
