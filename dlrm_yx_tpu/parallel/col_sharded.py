@@ -1,0 +1,371 @@
+"""Column-sharded embedding tables over the "model" mesh axis.
+
+Complement to row sharding (parallel/row_sharded.py) and whole-table
+placement (parallel/hybrid.py) — together the three cover the north-star
+"row/column-sharded arrays across a pod slice". The reference has no
+intra-table sharding at all (whole-table only, SURVEY.md §5).
+
+Layout: every table keeps all rows on every model shard, but only a
+``D / n_model`` column slice: store ``[n_model, total_rows, d_local]``.
+
+Dataflow per step (shard_map over ("data", "model")):
+  * indices are replicated over "model" (each shard pools its column slice
+    for the full per-data-shard batch);
+  * ONE ``all_to_all`` splits the batch axis and concatenates the dim axis:
+    ``[T, Bd, d_local] -> [T, Bd/n_model, D]`` — batch-sharded full-width
+    pooled vectors for the dense towers. Unlike row sharding's psum_scatter
+    there is NO reduction (each shard owns disjoint columns), so the
+    exchange moves the same bytes as hybrid's all-to-all;
+  * backward: the reverse all_to_all falls out of jax.vjp; each shard
+    applies scatter updates to its OWN column slice — sparse gradients
+    never cross shards;
+  * RWSAdagrad's per-row momentum needs the full-width row norm:
+    ``psum`` of the per-slice sum-of-squares over "model" (a [K] vector —
+    tiny); Adagrad's per-element state stays local; SGD needs nothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.ops.coalesce import coalesce_rows
+from dlrm_yx_tpu.ops.interaction import interact_features
+from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
+from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
+from dlrm_yx_tpu.optim.optimizer import OptConfig, dense_update
+
+ROW_ALIGN = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ColShardPlan:
+    n_model: int
+    dim: int          # full embedding dim D
+    d_local: int      # D / n_model columns per shard
+    rows: tuple
+    row_offsets: tuple
+    total_rows: int
+
+
+def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
+    dims = set(config.emb_dims)
+    if len(dims) != 1:
+        raise ValueError("col-sharded plan requires homogeneous table dims")
+    dim = dims.pop()
+    if dim % n_model:
+        raise ValueError(f"dim {dim} not divisible by n_model {n_model}")
+    offsets, cur = [], 0
+    for n in config.emb_rows:
+        offsets.append(cur)
+        cur += _round_up(n, ROW_ALIGN)
+    return ColShardPlan(
+        n_model=n_model,
+        dim=dim,
+        d_local=dim // n_model,
+        rows=tuple(config.emb_rows),
+        row_offsets=tuple(offsets),
+        total_rows=cur,
+    )
+
+
+def build_col_sharded_emb(plan: ColShardPlan, per_table) -> np.ndarray:
+    """[n_model, total_rows, d_local] from per-canonical-table weights."""
+    flat = np.zeros((plan.total_rows, plan.dim), np.float32)
+    for t, w in enumerate(per_table):
+        off = plan.row_offsets[t]
+        flat[off : off + w.shape[0]] = np.asarray(w)
+    parts = flat.reshape(plan.total_rows, plan.n_model, plan.d_local)
+    return np.ascontiguousarray(np.transpose(parts, (1, 0, 2)))
+
+
+def extract_col_sharded_tables(plan: ColShardPlan, emb: np.ndarray):
+    flat = np.transpose(np.asarray(emb), (1, 0, 2)).reshape(
+        plan.total_rows, plan.dim
+    )
+    return [
+        flat[off : off + n].copy()
+        for off, n in zip(plan.row_offsets, plan.rows)
+    ]
+
+
+def init_col_sharded_params(
+    config: DLRMConfig, plan: ColShardPlan, seed: int = 123
+) -> Dict:
+    """Same per-table draws as init_dlrm, laid out column-sharded."""
+    rng = np.random.RandomState(seed)
+    per_table = []
+    for n, d in zip(config.emb_rows, config.emb_dims):
+        bound = np.sqrt(1.0 / n)
+        per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
+    emb = build_col_sharded_emb(plan, per_table)
+    return {
+        "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
+        "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
+        "emb": jnp.asarray(emb),
+        "vw": None,
+    }
+
+
+def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
+    if opt.name == "sgd":
+        return {}
+    dense = {
+        k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
+        for k in ("bot", "top")
+    }
+    emb = params["emb"]
+    # rwsadagrad: per-row accumulator REPLICATED per shard (identical values
+    # maintained by the psum'd update); adagrad: per-element, local slice
+    acc = (
+        jnp.zeros_like(emb)
+        if opt.name == "adagrad"
+        else jnp.zeros(emb.shape[:2], jnp.float32)
+    )
+    return {"dense": dense, "emb": acc}
+
+
+def shard_col_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
+    p = dict(params)
+    p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    for k in ("bot", "top"):
+        p[k] = [
+            tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+            for layer in params[k]
+        ]
+    s = dict(opt_state)
+    if opt.name != "sgd":
+        s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        s["dense"] = {
+            k: [
+                tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
+                for layer in opt_state["dense"][k]
+            ]
+            for k in ("bot", "top")
+        }
+    return p, s
+
+
+def shard_col_batch(mesh: Mesh, batch: Batch) -> Batch:
+    return Batch(
+        dense=jax.device_put(batch.dense, NamedSharding(mesh, P(("data", "model")))),
+        indices=jax.device_put(batch.indices, NamedSharding(mesh, P(None, "data"))),
+        weights=jax.device_put(batch.weights, NamedSharding(mesh, P(None, "data"))),
+        labels=jax.device_put(batch.labels, NamedSharding(mesh, P(("data", "model")))),
+    )
+
+
+def _local_pooled(store, plan: ColShardPlan, gid, weights):
+    t, b, l = gid.shape
+    safe = jnp.minimum(gid, plan.total_rows - 1)
+    rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(
+        t, b, l, plan.d_local
+    )
+    if l == 1:
+        return rows[:, :, 0, :] * weights[:, :, 0][..., None]
+    return jnp.einsum("tbl,tbld->tbd", weights, rows)
+
+
+def make_col_sharded_train_step(
+    config: DLRMConfig,
+    plan: ColShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    lr_fn=None,
+    global_batch: Optional[int] = None,
+):
+    offs = np.asarray(plan.row_offsets, np.int32)
+
+    def local_step(params, opt_state, batch, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        store = params["emb"][0]  # [total_rows, d_local]
+        acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        gid = batch.indices + jnp.asarray(offs)[:, None, None]
+
+        pooled_local = _local_pooled(store, plan, gid, batch.weights)
+
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        bsz_global = (
+            batch.labels.shape[0] * n_total if global_batch is None else global_batch
+        )
+
+        def dense_loss(dense_params, pooled_in):
+            # the exchange: split batch, concat columns -> full-D pooled
+            ly_full = jax.lax.all_to_all(
+                pooled_in, "model", split_axis=1, concat_axis=2, tiled=True
+            )  # [T, Bd/n_model, D]
+            ly = jnp.transpose(ly_full, (1, 0, 2))
+            d = config.base_dim
+            if plan.dim != d:
+                k = plan.dim // d
+                b_loc, t_loc = ly.shape[0], ly.shape[1]
+                ly = ly.reshape(b_loc, t_loc, k, d).reshape(b_loc, t_loc * k, d)
+            cdt = jnp.dtype(config.compute_dtype)
+            x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
+            z = interact_features(
+                x, ly, config.interaction, config.interact_itself, cdt
+            )
+            logits = apply_mlp(
+                z, dense_params["top"], config.sigmoid_top, cdt,
+                skip_last_activation=True,
+            )
+            local = loss_fn(
+                logits, batch.labels, config.loss, config.loss_threshold,
+                config.wbce_weights,
+            )
+            return local * (batch.labels.shape[0] / bsz_global)
+
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+            dense_loss, argnums=(0, 1)
+        )(dense_params, pooled_local)
+        loss = jax.lax.psum(loss_share, ("data", "model"))
+        g_dense = jax.lax.psum(g_dense, ("data", "model"))
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        for k in ("bot", "top"):
+            new_layers, new_acc = [], []
+            for i, (w, b) in enumerate(params[k]):
+                gw, gb = g_dense[k][i]
+                aw, ab = opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+                w2, aw2 = dense_update(opt, w, gw, aw, lr)
+                b2, ab2 = dense_update(opt, b, gb, ab, lr)
+                new_layers.append((w2, b2))
+                new_acc.append((aw2, ab2))
+            new_params[k] = new_layers
+            if opt.name != "sgd":
+                new_state["dense"] = dict(new_state["dense"])
+                new_state["dense"][k] = new_acc
+
+        # sparse updates on the local column slice; fold batch over "data"
+        t, bd, l = batch.indices.shape
+        flat_idx = gid.reshape(t * bd * l)
+        flat_g = (batch.weights[..., None] * g_pooled[:, :, None, :]).reshape(
+            t * bd * l, plan.d_local
+        )
+        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
+        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        if opt.name == "sgd":
+            store2 = store.at[flat_idx].add(-lr * flat_g, mode="drop")
+            acc2 = acc
+        else:
+            uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
+            if opt.name == "adagrad":
+                acc2 = acc.at[uniq].add(sg * sg, mode="drop")
+                denom = (
+                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    + opt.eps
+                )
+                store2 = store.at[uniq].add(-lr * sg / denom, mode="drop")
+            else:  # rwsadagrad: full-width row norm via psum over "model"
+                sq = jnp.sum(sg * sg, axis=-1)
+                sq = jax.lax.psum(sq, "model") / plan.dim
+                acc2 = acc.at[uniq].add(sq, mode="drop")
+                denom = (
+                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    + opt.eps
+                )
+                store2 = store.at[uniq].add(
+                    -lr * sg / denom[:, None], mode="drop"
+                )
+        new_params["emb"] = store2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc2[None]
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+        }
+    )
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P(None, "data"),
+        weights=P(None, "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mesh):
+    offs = np.asarray(plan.row_offsets, np.int32)
+
+    def local_eval(params, batch):
+        store = params["emb"][0]
+        gid = batch.indices + jnp.asarray(offs)[:, None, None]
+        pooled_local = _local_pooled(store, plan, gid, batch.weights)
+        ly_full = jax.lax.all_to_all(
+            pooled_local, "model", split_axis=1, concat_axis=2, tiled=True
+        )
+        ly = jnp.transpose(ly_full, (1, 0, 2))
+        d = config.base_dim
+        if plan.dim != d:
+            k = plan.dim // d
+            b_loc, t_loc = ly.shape[0], ly.shape[1]
+            ly = ly.reshape(b_loc, t_loc, k, d).reshape(b_loc, t_loc * k, d)
+        cdt = jnp.dtype(config.compute_dtype)
+        x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
+        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+        logits = apply_mlp(
+            z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
+        )
+        preds = predictions_from_logits(logits, config.loss_threshold)
+        local = loss_fn(
+            logits, batch.labels, config.loss, config.loss_threshold,
+            config.wbce_weights,
+        )
+        loss = jax.lax.pmean(jax.lax.pmean(local, "data"), "model")
+        return preds, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": None,
+    }
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P(None, "data"),
+        weights=P(None, "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(pspecs, bspecs),
+        out_specs=(P(("data", "model")), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
