@@ -56,21 +56,48 @@ def init_hybrid_params(
     config: DLRMConfig, plan: ShardingPlan, seed: int = 123
 ) -> Dict:
     """Same draws as init_dlrm (identical dense params and per-table weights)
-    but with tables assembled into the [n_model, r_pad, dim] sharded layout."""
+    but with tables assembled into the [n_model, r_pad, dim] sharded layout.
+    QR tables (qr_flag) contribute their quotient store to the sharded array
+    and their remainder store to the replicated flat ``qr_r`` array."""
+    from dlrm_yx_tpu.models.dlrm import qr_specs
+    from dlrm_yx_tpu.ops.qr_embedding import init_qr
+
     rng = np.random.RandomState(seed)
+    qr_ids = set(config.qr_table_ids)
+    spec_by_id = {s.table_id: s for s in qr_specs(config)}
     per_table = []
-    for n, d in zip(config.emb_rows, config.emb_dims):
-        bound = np.sqrt(1.0 / n)
-        per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
+    qr_r = (
+        np.zeros((plan.qr_r_rows, plan.dim), np.float32)
+        if plan.qr_r_rows
+        else None
+    )
+    roff_by_table = {}
+    for pos, t in enumerate(plan.device_table_order):
+        if t >= 0 and plan.slot_coll[pos]:
+            roff_by_table[t] = plan.slot_roff[pos]
+    for t, (n, d) in enumerate(zip(config.emb_rows, config.emb_dims)):
+        if t in qr_ids:
+            q, r = init_qr(rng, spec_by_id[t])
+            per_table.append(q)
+            off = roff_by_table[t]
+            qr_r[off : off + r.shape[0]] = r
+        else:
+            bound = np.sqrt(1.0 / n)
+            per_table.append(
+                rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
+            )
     emb = build_sharded_emb(plan, config, per_table)
     from dlrm_yx_tpu.ops.mlp import init_mlp
 
-    return {
+    params = {
         "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
         "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
         "emb": jnp.asarray(emb),
         "vw": None,
     }
+    if qr_r is not None:
+        params["qr_r"] = jnp.asarray(qr_r)
+    return params
 
 
 def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
@@ -85,7 +112,14 @@ def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
         acc = jnp.zeros_like(emb)
     else:  # rwsadagrad: per-row
         acc = jnp.zeros(emb.shape[:2], jnp.float32)
-    return {"dense": dense, "emb": acc}
+    state = {"dense": dense, "emb": acc}
+    if "qr_r" in params:
+        state["qr_r"] = (
+            jnp.zeros_like(params["qr_r"])
+            if opt.name == "adagrad"
+            else jnp.zeros((params["qr_r"].shape[0],), jnp.float32)
+        )
+    return state
 
 
 def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
@@ -97,6 +131,8 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
             tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
             for layer in params[k]
         ]
+    if "qr_r" in params:  # replicated remainder stores
+        p["qr_r"] = jax.device_put(params["qr_r"], NamedSharding(mesh, P()))
     s = dict(opt_state)
     if opt.name != "sgd":
         s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
@@ -107,6 +143,8 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
             ]
             for k in ("bot", "top")
         }
+        if "qr_r" in opt_state:
+            s["qr_r"] = jax.device_put(opt_state["qr_r"], NamedSharding(mesh, P()))
     return p, s
 
 
@@ -126,19 +164,53 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 # the sharded step
 # ---------------------------------------------------------------------------
 
-def _local_lookup(store, offs, indices, weights, r_pad, dim):
+def _local_lookup(
+    store, offs, indices, weights, r_pad, dim,
+    r_store=None, coll=None, roff=None, qr_op="mult",
+):
     """Per-shard pooled lookup on the flat [r_pad, dim] store.
     indices/weights: [t_pad, Bd, L]; offs: [t_pad] local row offsets
-    (padding slots point at r_pad → clamped gather, zero weight)."""
+    (padding slots point at r_pad → clamped gather, zero weight).
+
+    QR slots (coll[s] > 0): the sharded store holds the QUOTIENT table, so
+    the gather index is idx // c; the replicated ``r_store`` supplies the
+    remainder rows (idx % c + roff[s]) and the combine happens per sample
+    BEFORE pooling (QREmbeddingBag semantics, qr_embedding_bag.py:25-185).
+
+    Returns (pooled [t,b,dim], q_gidx, q_rows, r_rows, is_qr) — the row
+    values are needed again for the mult-combine chain rule.
+    """
     t, b, l = indices.shape
-    gidx = indices + offs[:, None, None]
-    safe = jnp.minimum(gidx, r_pad - 1)
-    rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, dim)
-    if l == 1:
-        pooled = rows[:, :, 0, :] * weights[:, :, 0][..., None]
+    if r_store is not None:
+        c = jnp.maximum(coll, 1)[:, None, None]
+        qidx = jnp.where(coll[:, None, None] > 0, indices // c, indices)
     else:
-        pooled = jnp.einsum("tbl,tbld->tbd", weights, rows)
-    return pooled, gidx
+        qidx = indices
+    gidx = qidx + offs[:, None, None]
+    safe = jnp.minimum(gidx, r_pad - 1)
+    q_rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, dim)
+    r_rows = None
+    is_qr = None
+    emb = q_rows
+    if r_store is not None:
+        ridx = (
+            jnp.where(coll[:, None, None] > 0, indices % c, 0)
+            + roff[:, None, None]
+        )
+        r_rows = jnp.take(r_store, ridx.reshape(-1), axis=0).reshape(
+            t, b, l, dim
+        )
+        is_qr = (coll > 0)[:, None, None, None]
+        if qr_op == "mult":
+            emb = jnp.where(is_qr, q_rows * r_rows, q_rows)
+        else:  # add
+            emb = jnp.where(is_qr, q_rows + r_rows, q_rows)
+        r_rows = (ridx, r_rows)
+    if l == 1:
+        pooled = emb[:, :, 0, :] * weights[:, :, 0][..., None]
+    else:
+        pooled = jnp.einsum("tbl,tbld->tbd", weights, emb)
+    return pooled, gidx, q_rows, r_rows, is_qr
 
 
 def _slots_from_canonical(ly_can, config: DLRMConfig):
@@ -167,6 +239,9 @@ def make_hybrid_train_step(
     n_model = plan.n_model
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
+    coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
+    roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
+    has_qr = plan.qr_r_rows > 0
 
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
@@ -174,9 +249,19 @@ def make_hybrid_train_step(
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
         store = params["emb"][0]  # local shard [r_pad, dim]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        r_store = params.get("qr_r") if has_qr else None
+        coll = roff = None
+        if has_qr:
+            coll = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(coll_all), m, 0, keepdims=False
+            )
+            roff = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(roff_all), m, 0, keepdims=False
+            )
 
-        pooled, gidx = _local_lookup(
-            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim
+        pooled, gidx, q_rows, r_pack, is_qr = _local_lookup(
+            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
+            r_store, coll, roff, config.qr_operation,
         )
 
         n_total = mesh.shape["data"] * mesh.shape["model"]
@@ -234,6 +319,38 @@ def make_hybrid_train_step(
         # ----- sparse updates: gather full-batch row grads over "data" -----
         t, bd, l = batch.indices.shape
         w_g = batch.weights[..., None] * g_pooled[:, :, None, :]  # [t,bd,l,dim]
+        if has_qr:
+            # chain rule through the per-sample combine: d/dQ (Q*R) = R,
+            # d/dQ (Q+R) = 1 (qr_embedding.qr_row_grads semantics)
+            _, r_rows = r_pack
+            if config.qr_operation == "mult":
+                gq_fac = jnp.where(is_qr, r_rows, 1.0)
+                gr = jnp.where(is_qr, w_g * q_rows, 0.0)
+            else:  # add
+                gq_fac = 1.0
+                gr = jnp.where(is_qr, w_g, 0.0)
+            w_g = w_g * gq_fac
+            ridx_flat = r_pack[0].reshape(t * bd * l)
+            gr_flat = gr.reshape(t * bd * l, plan.dim)
+            dense_gr = jnp.zeros((plan.qr_r_rows, plan.dim), store.dtype).at[
+                ridx_flat
+            ].add(gr_flat, mode="drop")
+            dense_gr = jax.lax.psum(dense_gr, ("data", "model"))
+            qr_r = params["qr_r"]
+            if opt.name == "sgd":
+                new_params["qr_r"] = qr_r - lr * dense_gr
+            elif opt.name == "adagrad":
+                acc_r = opt_state["qr_r"] + dense_gr * dense_gr
+                new_state["qr_r"] = acc_r
+                new_params["qr_r"] = qr_r - lr * dense_gr / (
+                    jnp.sqrt(acc_r) + opt.eps
+                )
+            else:  # rwsadagrad
+                acc_r = opt_state["qr_r"] + jnp.mean(dense_gr * dense_gr, -1)
+                new_state["qr_r"] = acc_r
+                new_params["qr_r"] = qr_r - lr * dense_gr / (
+                    jnp.sqrt(acc_r) + opt.eps
+                )[:, None]
         interp = jax.default_backend() != "tpu"
         use_partition = (
             config.sparse_update_impl == "pallas" and plan.r_small > 0
@@ -301,6 +418,8 @@ def make_hybrid_train_step(
         "emb": P("model"),
         "vw": None,
     }
+    if has_qr:
+        pspecs["qr_r"] = P()
     sspecs = (
         {}
         if opt.name == "sgd"
@@ -310,6 +429,7 @@ def make_hybrid_train_step(
                 "top": [(P(), P())] * (len(config.ln_top) - 1),
             },
             "emb": P("model"),
+            **({"qr_r": P()} if has_qr else {}),
         }
     )
     bspecs = Batch(
@@ -395,13 +515,26 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     n_model = plan.n_model
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
+    coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
+    roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
+    has_qr = plan.qr_r_rows > 0
 
     def local_eval(params, batch):
         m = jax.lax.axis_index("model")
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
         store = params["emb"][0]
-        pooled, _ = _local_lookup(
-            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim
+        r_store = params.get("qr_r") if has_qr else None
+        coll = roff = None
+        if has_qr:
+            coll = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(coll_all), m, 0, keepdims=False
+            )
+            roff = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(roff_all), m, 0, keepdims=False
+            )
+        pooled, _, _, _, _ = _local_lookup(
+            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
+            r_store, coll, roff, config.qr_operation,
         )
         ly_ex = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
@@ -428,6 +561,8 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
         "emb": P("model"),
         "vw": None,
     }
+    if has_qr:
+        pspecs["qr_r"] = P()
     bspecs = Batch(
         dense=P(("data", "model")),
         indices=P("model", "data"),

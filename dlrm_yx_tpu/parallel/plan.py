@@ -64,6 +64,14 @@ class ShardingPlan:
     n_big_slots: int = 0
     r_big: int = 0
     r_small: int = 0
+    # QR compression (qr_flag): the QUOTIENT store of a QR table is sharded
+    # like a normal table (the planner sees q_rows); the tiny REMAINDER
+    # stores are replicated on every shard as one flat [qr_r_rows, dim]
+    # array. Per device-major slot: collisions c (0 = not QR) and the
+    # remainder store row offset (0 for non-QR slots).
+    slot_coll: Tuple[int, ...] = ()
+    slot_roff: Tuple[int, ...] = ()
+    qr_r_rows: int = 0
 
     @property
     def num_tables(self) -> int:
@@ -83,7 +91,23 @@ def make_plan(
             f"got {sorted(dims)} (use the single-device path for MD models)"
         )
     dim = dims.pop()
-    rows = config.emb_rows
+    # QR tables contribute their QUOTIENT store to the sharded layout
+    # (combine happens before pooling inside the shard; remainder stores
+    # are replicated). 'concat' changes the slot dim — unsupported here.
+    qr_ids = set(config.qr_table_ids)
+    if qr_ids and config.qr_operation == "concat":
+        raise ValueError("hybrid-parallel QR supports mult/add, not concat")
+    c = config.qr_collisions
+    rows = tuple(
+        int(np.ceil(n / c)) if t in qr_ids else n
+        for t, n in enumerate(config.emb_rows)
+    )
+    # replicated remainder-store layout, one block per QR table
+    r_offs: dict = {}
+    cur_r = 0
+    for t in sorted(qr_ids):
+        r_offs[t] = cur_r
+        cur_r += _round_up(c, ROW_ALIGN)
     thr = config.emb_split_threshold or 0
     table_device = shard(rows, n_model, alg, allocation)
 
@@ -134,6 +158,14 @@ def make_plan(
         if t >= 0:
             canonical_gather[t] = pos
 
+    slot_coll = tuple(
+        (c if t in qr_ids else 0) if t >= 0 else 0
+        for t in device_table_order
+    )
+    slot_roff = tuple(
+        r_offs.get(t, 0) if t >= 0 else 0 for t in device_table_order
+    )
+
     return ShardingPlan(
         n_model=n_model,
         table_device=tuple(table_device),
@@ -146,6 +178,9 @@ def make_plan(
         n_big_slots=n_big_slots,
         r_big=r_big,
         r_small=r_small,
+        slot_coll=slot_coll,
+        slot_roff=slot_roff,
+        qr_r_rows=cur_r,
     )
 
 
@@ -165,14 +200,21 @@ def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table) -> np.n
 
 def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb: np.ndarray):
     """Inverse of build_sharded_emb: per-canonical-table weights (for
-    checkpoint export / tests)."""
+    checkpoint export / tests). QR tables yield their QUOTIENT store."""
+    qr = set(config.qr_table_ids)
+    c = config.qr_collisions
     out = {}
     for pos, t in enumerate(plan.device_table_order):
         if t < 0:
             continue
         d = pos // plan.t_pad
         off = plan.row_offsets[pos]
-        out[t] = np.asarray(emb[d, off : off + config.emb_rows[t]])
+        n = (
+            int(np.ceil(config.emb_rows[t] / c))
+            if t in qr
+            else config.emb_rows[t]
+        )
+        out[t] = np.asarray(emb[d, off : off + n])
     return [out[t] for t in range(plan.num_tables)]
 
 
