@@ -154,12 +154,17 @@ def config_from_args(args) -> DLRMConfig:
     if args.md_flag:
         from dlrm_yx_tpu.ops.md_embedding import md_solver
 
+        md_dims = md_solver(
+            np.array(rows), args.md_temperature,
+            d0=args.arch_sparse_feature_size,
+            round_dim=args.md_round_dims,
+        ).tolist()
+        # MD dims apply only above the threshold; smaller tables keep the
+        # base dim (dlrm_s_pytorch.py:291-293)
         emb_dims = tuple(
-            md_solver(
-                np.array(rows), args.md_temperature,
-                d0=args.arch_sparse_feature_size,
-                round_dim=args.md_round_dims,
-            ).tolist()
+            int(md_dims[i]) if rows[i] > args.md_threshold
+            else args.arch_sparse_feature_size
+            for i in range(len(rows))
         )
     return DLRMConfig.build(
         emb_rows=rows,

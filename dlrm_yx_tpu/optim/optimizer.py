@@ -106,11 +106,17 @@ def sparse_update(
     sentinel: int,
     impl: str = "xla",
     interpret: bool = False,
+    row_dim=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
     store: [R, D]; flat_idx: [K] row ids (duplicates allowed, sentinel = R
     for padding); flat_g: [K, D] gradient contributions.
+
+    row_dim: optional [R] float32 of each row's TRUE embedding dim, for
+    stores holding zero-padded mixed-dim (MD) tables — rwsadagrad's per-row
+    momentum is mean(g^2) over the true dim (rwsadagrad.py:108), not the
+    padded width. None = all rows use the full width D.
 
     impl='pallas' routes large stores through the row-RMW kernel
     (ops/pallas_sparse_update.py). SGD stays exact (linear). For
@@ -154,7 +160,13 @@ def sparse_update(
             )
         # rwsadagrad: 1-D per-row momentum — the [R] scatter is a cheap
         # full rewrite (4 bytes/row), no kernel needed
-        mom_inc = jnp.mean(flat_g * flat_g, axis=-1) * active
+        if row_dim is None:
+            mom_inc = jnp.mean(flat_g * flat_g, axis=-1) * active
+        else:
+            mom_inc = (
+                jnp.sum(flat_g * flat_g, axis=-1)
+                / jnp.take(row_dim, safe, mode="fill", fill_value=1.0)
+            ) * active
         acc = acc.at[safe].add(mom_inc, mode="drop")
         denom = (
             jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
@@ -182,7 +194,10 @@ def sparse_update(
         if opt.name == "adagrad":
             acc = acc + dense_g * dense_g
             return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps), acc
-        mom = jnp.mean(dense_g * dense_g, axis=-1)
+        if row_dim is None:
+            mom = jnp.mean(dense_g * dense_g, axis=-1)
+        else:
+            mom = jnp.sum(dense_g * dense_g, axis=-1) / row_dim
         acc = acc + mom
         return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps)[:, None], acc
 
@@ -194,7 +209,12 @@ def sparse_update(
 
     # rwsadagrad: row momentum += mean(g^2 over dim); update rows by
     # g / (sqrt(momentum_new) + eps)  (rwsadagrad.py:108-115)
-    mom_inc = jnp.mean(sg * sg, axis=-1)
+    if row_dim is None:
+        mom_inc = jnp.mean(sg * sg, axis=-1)
+    else:
+        mom_inc = jnp.sum(sg * sg, axis=-1) / jnp.take(
+            row_dim, uniq, mode="fill", fill_value=1.0
+        )
     acc = acc.at[uniq].add(mom_inc, mode="drop")
     denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
     return store.at[uniq].add(-lr * sg / denom[:, None], mode="drop"), acc

@@ -86,6 +86,16 @@ def init_hybrid_params(
             per_table.append(
                 rng.uniform(-bound, bound, size=(n, d)).astype(np.float32)
             )
+    md_proj = None
+    if config.md_table_ids:
+        from dlrm_yx_tpu.ops.md_embedding import init_md_projection
+
+        md_proj = [
+            jnp.asarray(
+                init_md_projection(rng, config.emb_dims[t], config.base_dim)
+            )
+            for t in config.md_table_ids
+        ]
     emb = build_sharded_emb(plan, config, per_table)
     from dlrm_yx_tpu.ops.mlp import init_mlp
 
@@ -97,6 +107,8 @@ def init_hybrid_params(
     }
     if qr_r is not None:
         params["qr_r"] = jnp.asarray(qr_r)
+    if md_proj is not None:
+        params["md_proj"] = md_proj
     return params
 
 
@@ -113,6 +125,8 @@ def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
     else:  # rwsadagrad: per-row
         acc = jnp.zeros(emb.shape[:2], jnp.float32)
     state = {"dense": dense, "emb": acc}
+    if "md_proj" in params:
+        state["md_proj"] = [jnp.zeros_like(w) for w in params["md_proj"]]
     if "qr_r" in params:
         state["qr_r"] = (
             jnp.zeros_like(params["qr_r"])
@@ -133,6 +147,10 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
         ]
     if "qr_r" in params:  # replicated remainder stores
         p["qr_r"] = jax.device_put(params["qr_r"], NamedSharding(mesh, P()))
+    if "md_proj" in params:  # replicated up-projections
+        p["md_proj"] = [
+            jax.device_put(w, NamedSharding(mesh, P())) for w in params["md_proj"]
+        ]
     s = dict(opt_state)
     if opt.name != "sgd":
         s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
@@ -145,6 +163,11 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
         }
         if "qr_r" in opt_state:
             s["qr_r"] = jax.device_put(opt_state["qr_r"], NamedSharding(mesh, P()))
+        if "md_proj" in opt_state:
+            s["md_proj"] = [
+                jax.device_put(w, NamedSharding(mesh, P()))
+                for w in opt_state["md_proj"]
+            ]
     return p, s
 
 
@@ -213,11 +236,22 @@ def _local_lookup(
     return pooled, gidx, q_rows, r_rows, is_qr
 
 
-def _slots_from_canonical(ly_can, config: DLRMConfig):
+def _slots_from_canonical(ly_can, config: DLRMConfig, md_proj=None):
     """[T, b, dim] canonical pooled -> [b, S, D] interaction slots
-    (split trick for dim = k*D)."""
+    (split trick for dim = k*D; MD tables sliced to d_t and up-projected
+    with PrEmbeddingBag's Linear AFTER the exchange)."""
     t, b, dim = ly_can.shape
     d = config.base_dim
+    if config.md_table_ids:
+        md_ids = {tid: i for i, tid in enumerate(config.md_table_ids)}
+        slots = []
+        for tid in range(t):
+            y = ly_can[tid]
+            if tid in md_ids:
+                dt = config.emb_dims[tid]
+                y = jnp.dot(y[:, :dt], md_proj[md_ids[tid]])
+            slots.append(y)
+        return jnp.stack(slots, axis=1)
     k = dim // d
     if k == 1:
         return jnp.transpose(ly_can, (1, 0, 2))
@@ -242,6 +276,25 @@ def make_hybrid_train_step(
     coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
     roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
     has_qr = plan.qr_r_rows > 0
+    # per-row true dims (MD zero-padded columns) for rwsadagrad momentum
+    row_dim_all = None
+    if config.md_table_ids and opt.name == "rwsadagrad":
+        import numpy as _np
+
+        qr_ids = set(config.qr_table_ids)
+        c = config.qr_collisions
+        row_dim_all = _np.full((n_model, plan.r_pad), float(plan.dim), _np.float32)
+        for pos, tt in enumerate(plan.device_table_order):
+            if tt < 0:
+                continue
+            dsh = pos // plan.t_pad
+            off = plan.row_offsets[pos]
+            nrows = (
+                int(_np.ceil(config.emb_rows[tt] / c))
+                if tt in qr_ids
+                else config.emb_rows[tt]
+            )
+            row_dim_all[dsh, off : off + nrows] = float(config.emb_dims[tt])
 
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
@@ -249,6 +302,11 @@ def make_hybrid_train_step(
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
         store = params["emb"][0]  # local shard [r_pad, dim]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        row_dim = None
+        if row_dim_all is not None:
+            row_dim = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(row_dim_all), m, 0, keepdims=False
+            )
         r_store = params.get("qr_r") if has_qr else None
         coll = roff = None
         if has_qr:
@@ -275,7 +333,9 @@ def make_hybrid_train_step(
                 pooled_in, "model", split_axis=1, concat_axis=0, tiled=True
             )  # [n_model * t_pad, b, dim]
             ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
-            ly = _slots_from_canonical(ly_can, config)
+            ly = _slots_from_canonical(
+                ly_can, config, dense_params.get("md_proj")
+            )
             cdt = jnp.dtype(config.compute_dtype)
             x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
             z = interact_features(
@@ -293,6 +353,8 @@ def make_hybrid_train_step(
             return local * (batch.labels.shape[0] / bsz_global)
 
         dense_params = {"bot": params["bot"], "top": params["top"]}
+        if "md_proj" in params:
+            dense_params["md_proj"] = params["md_proj"]
         loss_share, (g_dense, g_pooled) = jax.value_and_grad(
             dense_loss, argnums=(0, 1)
         )(dense_params, pooled)
@@ -315,6 +377,16 @@ def make_hybrid_train_step(
             if opt.name != "sgd":
                 new_state["dense"] = dict(new_state["dense"])
                 new_state["dense"][k] = new_acc
+        if "md_proj" in params:
+            new_proj, new_proj_acc = [], []
+            for i, w in enumerate(params["md_proj"]):
+                pa = opt_state["md_proj"][i] if opt.name != "sgd" else None
+                w2, pa2 = dense_update(opt, w, g_dense["md_proj"][i], pa, lr)
+                new_proj.append(w2)
+                new_proj_acc.append(pa2)
+            new_params["md_proj"] = new_proj
+            if opt.name != "sgd":
+                new_state["md_proj"] = new_proj_acc
 
         # ----- sparse updates: gather full-batch row grads over "data" -----
         t, bd, l = batch.indices.shape
@@ -369,6 +441,7 @@ def make_hybrid_train_step(
             store2, acc2 = sparse_update(
                 opt, store, acc, flat_idx, flat_g, lr, plan.r_pad,
                 impl=config.sparse_update_impl, interpret=interp,
+                row_dim=row_dim,
             )
         else:
             # big tables (slots [0, n_big_slots), rows [0, r_big)) through
@@ -380,7 +453,7 @@ def make_hybrid_train_step(
                 idx_b, g_b = gathered(0, nb)
                 store2, acc2 = sparse_update(
                     opt, store, acc, idx_b, g_b, lr, plan.r_pad,
-                    impl="pallas", interpret=interp,
+                    impl="pallas", interpret=interp, row_dim=row_dim,
                 )
             else:
                 store2, acc2 = store, acc
@@ -401,7 +474,10 @@ def make_hybrid_train_step(
                     -lr * dense_g / (jnp.sqrt(acc_sl) + opt.eps)
                 )
             else:  # rwsadagrad
-                mom = jnp.mean(dense_g * dense_g, axis=-1)
+                if row_dim is None:
+                    mom = jnp.mean(dense_g * dense_g, axis=-1)
+                else:
+                    mom = jnp.sum(dense_g * dense_g, axis=-1) / row_dim[lo : lo + ns]
                 acc_sl = acc2[lo : lo + ns] + mom
                 acc2 = acc2.at[lo : lo + ns].set(acc_sl)
                 store2 = store2.at[lo : lo + ns].add(
@@ -420,6 +496,8 @@ def make_hybrid_train_step(
     }
     if has_qr:
         pspecs["qr_r"] = P()
+    if config.md_table_ids:
+        pspecs["md_proj"] = [P()] * len(config.md_table_ids)
     sspecs = (
         {}
         if opt.name == "sgd"
@@ -430,6 +508,11 @@ def make_hybrid_train_step(
             },
             "emb": P("model"),
             **({"qr_r": P()} if has_qr else {}),
+            **(
+                {"md_proj": [P()] * len(config.md_table_ids)}
+                if config.md_table_ids
+                else {}
+            ),
         }
     )
     bspecs = Batch(
@@ -540,7 +623,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
         )
         ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
-        ly = _slots_from_canonical(ly_can, config)
+        ly = _slots_from_canonical(ly_can, config, params.get("md_proj"))
         cdt = jnp.dtype(config.compute_dtype)
         x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
         z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
@@ -563,6 +646,8 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     }
     if has_qr:
         pspecs["qr_r"] = P()
+    if config.md_table_ids:
+        pspecs["md_proj"] = [P()] * len(config.md_table_ids)
     bspecs = Batch(
         dense=P(("data", "model")),
         indices=P("model", "data"),

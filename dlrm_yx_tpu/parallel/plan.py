@@ -85,12 +85,24 @@ def make_plan(
     allocation: Optional[Sequence[int]] = None,
 ) -> ShardingPlan:
     dims = set(config.emb_dims)
-    if len(dims) != 1:
+    if len(dims) == 1:
+        dim = dims.pop()
+    elif config.md_table_ids:
+        # mixed-dimension (MD) tables: every slot uses the max dim; MD
+        # tables' rows are stored with zero-padded columns and their pooled
+        # outputs are sliced back to d_t + up-projected AFTER the exchange
+        # (PrEmbeddingBag's Linear, applied post-all-to-all)
+        dim = max(dims)
+        for t, d in enumerate(config.emb_dims):
+            if d != dim and t not in config.md_table_ids:
+                raise ValueError(
+                    f"table {t} has dim {d} != {dim} but is not an MD table"
+                )
+    else:
         raise ValueError(
             "hybrid-parallel plan requires homogeneous table dims; "
-            f"got {sorted(dims)} (use the single-device path for MD models)"
+            f"got {sorted(dims)} (enable --md-flag for mixed dims)"
         )
-    dim = dims.pop()
     # QR tables contribute their QUOTIENT store to the sharded layout
     # (combine happens before pooling inside the shard; remainder stores
     # are replicated). 'concat' changes the slot dim — unsupported here.
@@ -194,7 +206,8 @@ def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table) -> np.n
         d = pos // plan.t_pad
         off = plan.row_offsets[pos]
         w = np.asarray(per_table[t])
-        out[d, off : off + w.shape[0]] = w
+        # MD tables have d_t < dim: zero-padded columns
+        out[d, off : off + w.shape[0], : w.shape[1]] = w
     return out
 
 
@@ -214,7 +227,7 @@ def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb: np.ndarray):
             if t in qr
             else config.emb_rows[t]
         )
-        out[t] = np.asarray(emb[d, off : off + n])
+        out[t] = np.asarray(emb[d, off : off + n, : config.emb_dims[t]])
     return [out[t] for t in range(plan.num_tables)]
 
 

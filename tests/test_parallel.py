@@ -317,3 +317,48 @@ def test_hybrid_qr_concat_rejected():
     )
     with pytest.raises(ValueError, match="concat"):
         make_plan(cfg, n_model=2)
+
+
+@pytest.mark.parametrize("optname", ["sgd", "rwsadagrad"])
+def test_hybrid_md_matches_single_device(optname):
+    """Mixed-dimension tables through the hybrid path: zero-padded columns
+    in the shard store, slice + PrEmbeddingBag up-projection after the
+    exchange — must match the single-device MD path (BASELINE config 5)."""
+    from dlrm_yx_tpu.ops.md_embedding import md_solver
+
+    rows = (800, 50, 600, 40)
+    dims = tuple(
+        int(x) for x in md_solver(np.array(rows), 0.3, d0=8, round_dim=True)
+    )
+    assert len(set(dims)) > 1  # genuinely mixed
+    cfg = DLRMConfig(
+        emb_rows=rows, emb_dims=dims, ln_bot=(4, 8, 8),
+        ln_top=(5 * 4 // 2 + 8, 8, 1), md_flag=True, md_threshold=200,
+    )
+    assert cfg.md_table_ids  # big tables got smaller dims
+    opt = OptConfig(optname, 0.1)
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=23)
+
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+
+    params1 = init_dlrm(cfg, seed=6)
+    step1 = make_train_step(cfg, opt)
+    p1, s1 = params1, init_s(opt, params1, model_groups(cfg))
+    losses1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    mesh = make_mesh(2, 2)
+    plan = make_plan(cfg, n_model=2, alg="greedy")
+    p2 = init_hybrid_params(cfg, plan, seed=6)
+    s2 = init_hybrid_opt_state(opt, p2)
+    p2, s2 = shard_params(mesh, p2, opt, s2)
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    losses2 = []
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
