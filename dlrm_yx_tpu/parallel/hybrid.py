@@ -99,11 +99,24 @@ def init_hybrid_params(
     emb = build_sharded_emb(plan, config, per_table)
     from dlrm_yx_tpu.ops.mlp import init_mlp
 
+    vw = None
+    if config.weighted_pooling is not None:
+        if config.qr_table_ids:
+            raise NotImplementedError("weighted pooling with QR tables")
+        # v_W = ones per real row (dlrm_s_pytorch.py:313-316), zero padding
+        vw = np.zeros((plan.n_model, plan.r_pad), np.float32)
+        for pos, tt in enumerate(plan.device_table_order):
+            if tt < 0:
+                continue
+            dsh = pos // plan.t_pad
+            off = plan.row_offsets[pos]
+            vw[dsh, off : off + config.emb_rows[tt]] = 1.0
+        vw = jnp.asarray(vw)
     params = {
         "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
         "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
         "emb": jnp.asarray(emb),
-        "vw": None,
+        "vw": vw,
     }
     if qr_r is not None:
         params["qr_r"] = jnp.asarray(qr_r)
@@ -125,6 +138,8 @@ def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
     else:  # rwsadagrad: per-row
         acc = jnp.zeros(emb.shape[:2], jnp.float32)
     state = {"dense": dense, "emb": acc}
+    if params.get("vw") is not None:
+        state["vw"] = jnp.zeros_like(params["vw"])
     if "md_proj" in params:
         state["md_proj"] = [jnp.zeros_like(w) for w in params["md_proj"]]
     if "qr_r" in params:
@@ -145,6 +160,8 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
             tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
             for layer in params[k]
         ]
+    if params.get("vw") is not None:
+        p["vw"] = jax.device_put(params["vw"], NamedSharding(mesh, P("model")))
     if "qr_r" in params:  # replicated remainder stores
         p["qr_r"] = jax.device_put(params["qr_r"], NamedSharding(mesh, P()))
     if "md_proj" in params:  # replicated up-projections
@@ -161,6 +178,8 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
             ]
             for k in ("bot", "top")
         }
+        if "vw" in opt_state:
+            s["vw"] = jax.device_put(opt_state["vw"], NamedSharding(mesh, P("model")))
         if "qr_r" in opt_state:
             s["qr_r"] = jax.device_put(opt_state["qr_r"], NamedSharding(mesh, P()))
         if "md_proj" in opt_state:
@@ -189,7 +208,7 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 
 def _local_lookup(
     store, offs, indices, weights, r_pad, dim,
-    r_store=None, coll=None, roff=None, qr_op="mult",
+    r_store=None, coll=None, roff=None, qr_op="mult", vw=None,
 ):
     """Per-shard pooled lookup on the flat [r_pad, dim] store.
     indices/weights: [t_pad, Bd, L]; offs: [t_pad] local row offsets
@@ -211,6 +230,10 @@ def _local_lookup(
         qidx = indices
     gidx = qidx + offs[:, None, None]
     safe = jnp.minimum(gidx, r_pad - 1)
+    if vw is not None:
+        # per-row pooling weights v_W (dlrm_s_pytorch.py:545-548); padding
+        # rows carry vw = 0 so clamped gathers contribute nothing
+        weights = weights * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
     q_rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, dim)
     r_rows = None
     is_qr = None
@@ -317,9 +340,11 @@ def make_hybrid_train_step(
                 jnp.asarray(roff_all), m, 0, keepdims=False
             )
 
+        vw = params.get("vw")
+        vw = vw[0] if vw is not None else None
         pooled, gidx, q_rows, r_pack, is_qr = _local_lookup(
             store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
-            r_store, coll, roff, config.qr_operation,
+            r_store, coll, roff, config.qr_operation, vw,
         )
 
         n_total = mesh.shape["data"] * mesh.shape["model"]
@@ -390,7 +415,12 @@ def make_hybrid_train_step(
 
         # ----- sparse updates: gather full-batch row grads over "data" -----
         t, bd, l = batch.indices.shape
-        w_g = batch.weights[..., None] * g_pooled[:, :, None, :]  # [t,bd,l,dim]
+        w_eff = batch.weights
+        if vw is not None:
+            safe_rows = jnp.minimum(gidx, plan.r_pad - 1)
+            vw_vals = jnp.take(vw, safe_rows.reshape(-1)).reshape(t, bd, l)
+            w_eff = w_eff * vw_vals
+        w_g = w_eff[..., None] * g_pooled[:, :, None, :]  # [t,bd,l,dim]
         if has_qr:
             # chain rule through the per-sample combine: d/dQ (Q*R) = R,
             # d/dQ (Q+R) = 1 (qr_embedding.qr_row_grads semantics)
@@ -486,13 +516,34 @@ def make_hybrid_train_step(
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             new_state["emb"] = acc2[None]
+        if vw is not None and config.weighted_pooling == "learned":
+            # d loss / d vw[row] += base_w * <g_pooled, store[row]>
+            gv = (
+                jnp.einsum("tbld,tbd->tbl", q_rows, g_pooled)
+                * batch.weights
+            ).reshape(t * bd * l)
+            vidx = jnp.minimum(gidx, plan.r_pad - 1).reshape(t * bd * l)
+            vidx = jnp.where(
+                gidx.reshape(-1) < plan.r_pad, vidx, plan.r_pad
+            )
+            vidx = jax.lax.all_gather(vidx, "data", tiled=True)
+            gv = jax.lax.all_gather(gv, "data", tiled=True)
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            vacc = opt_state["vw"][0] if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, vw, vacc, vidx, gv, lr, plan.r_pad
+            )
+            new_params["vw"] = vw2[None]
+            if opt.name != "sgd":
+                new_state["vw"] = vacc2[None]
         return new_params, new_state, loss
 
     pspecs = {
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P("model") if config.weighted_pooling is not None else None,
     }
     if has_qr:
         pspecs["qr_r"] = P()
@@ -507,6 +558,11 @@ def make_hybrid_train_step(
                 "top": [(P(), P())] * (len(config.ln_top) - 1),
             },
             "emb": P("model"),
+            **(
+                {"vw": P("model")}
+                if config.weighted_pooling == "learned"
+                else {}
+            ),
             **({"qr_r": P()} if has_qr else {}),
             **(
                 {"md_proj": [P()] * len(config.md_table_ids)}
@@ -615,9 +671,11 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
             roff = jax.lax.dynamic_index_in_dim(
                 jnp.asarray(roff_all), m, 0, keepdims=False
             )
+        vw = params.get("vw")
+        vw = vw[0] if vw is not None else None
         pooled, _, _, _, _ = _local_lookup(
             store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
-            r_store, coll, roff, config.qr_operation,
+            r_store, coll, roff, config.qr_operation, vw,
         )
         ly_ex = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
@@ -642,7 +700,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P("model") if config.weighted_pooling is not None else None,
     }
     if has_qr:
         pspecs["qr_r"] = P()

@@ -362,3 +362,41 @@ def test_hybrid_md_matches_single_device(optname):
         p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("pooling,optname", [
+    ("fixed", "sgd"), ("learned", "sgd"), ("learned", "rwsadagrad"),
+])
+def test_hybrid_weighted_pooling_matches_single_device(pooling, optname):
+    """v_W per-row pooling weights (fixed and learned) through the hybrid
+    path (dlrm_s_pytorch.py:308-316,545-548)."""
+    cfg = DLRMConfig(
+        emb_rows=(60, 40, 90), ln_bot=(4, 8, 4),
+        ln_top=(4 * 3 // 2 + 4, 8, 1), weighted_pooling=pooling,
+    )
+    opt = OptConfig(optname, 0.1)
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=31)
+
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+
+    p1 = init_dlrm(cfg, seed=4)
+    step1 = make_train_step(cfg, opt)
+    s1 = init_s(opt, p1, model_groups(cfg))
+    losses1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    mesh = make_mesh(2, 2)
+    plan = make_plan(cfg, n_model=2, alg="greedy")
+    p2 = init_hybrid_params(cfg, plan, seed=4)
+    s2 = init_hybrid_opt_state(opt, p2)
+    p2, s2 = shard_params(mesh, p2, opt, s2)
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    losses2 = []
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
