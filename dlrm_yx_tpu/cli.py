@@ -116,6 +116,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(kernel-updated); 0 disables splitting")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--emb-dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="table storage dtype; bfloat16 halves HBM (fbgemm "
+                        "fp16-weights parity)")
     # debugging and profiling
     p.add_argument("--debug-mode", action="store_true", default=False)
     p.add_argument("--enable-profiling", action="store_true", default=False)
@@ -184,6 +188,7 @@ def config_from_args(args) -> DLRMConfig:
         wbce_weights=tuple(float(x) for x in args.loss_weights.split("-")),
         weighted_pooling=args.weighted_pooling,
         compute_dtype=args.compute_dtype,
+        emb_dtype=args.emb_dtype,
         lookup_impl=args.lookup_impl,
         sparse_update_impl=args.sparse_update_impl,
         emb_split_threshold=args.emb_split_threshold,

@@ -58,6 +58,14 @@ class DLRMConfig:
     wbce_weights: Tuple[float, float] = (1.0, 1.0)
     weighted_pooling: Optional[str] = None
     compute_dtype: str = "float32"
+    # embedding table STORAGE dtype: 'float32' or 'bfloat16'. bf16 halves
+    # HBM footprint and gather bandwidth (the MLPerf 40M-ind-range tables
+    # fit a single 16 GB chip) — parity with the reference's fp16 fbgemm
+    # table storage (SplitTableBatchedEmbeddingBagsCodegen, SURVEY.md §2.3).
+    # Updates round to bf16 each step; use fp32 when tiny learning rates
+    # must accumulate (the reference's fbgemm path has the same trade,
+    # mitigated there by stochastic rounding).
+    emb_dtype: str = "float32"
     # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
     # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
     lookup_impl: str = "xla"
@@ -203,6 +211,8 @@ class DLRMConfig:
                 f"ln_top[0]={self.ln_top[0]} inconsistent with arch: expected {want} "
                 f"(num_features={self.num_features}, D={d}, op={self.interaction})"
             )
+        if self.emb_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad emb_dtype {self.emb_dtype!r}")
         if self.weighted_pooling not in (None, "fixed", "learned"):
             raise ValueError(f"bad weighted_pooling {self.weighted_pooling!r}")
 

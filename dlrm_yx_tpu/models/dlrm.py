@@ -95,11 +95,12 @@ def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
             for t in config.md_table_ids
         ]
     emb = []
+    edt = jnp.dtype(config.emb_dtype)
     for g in groups:
         store = np.zeros((g.total_rows, g.dim), dtype=np.float32)
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             store[off : off + n] = per_table[tid]
-        emb.append(jnp.asarray(store))
+        emb.append(jnp.asarray(store).astype(edt))
     vw = None
     if config.weighted_pooling is not None:
         # v_W = ones(n) per table (dlrm_s_pytorch.py:313-316), stored flat per group
@@ -150,7 +151,10 @@ def init_dlrm_on_device(config: DLRMConfig, seed: int = 123) -> Dict:
             u = jax.random.uniform(
                 key, bound.shape + (dim,), jnp.float32, -1.0, 1.0
             )
-            return u * bound[:, None]
+            # cast inside the jit: XLA fuses draw*bound*cast elementwise, so
+            # the f32 intermediate never materializes (a 54M-row bf16 store
+            # would otherwise OOM on its own f32 ghost)
+            return (u * bound[:, None]).astype(jnp.dtype(config.emb_dtype))
 
         emb.append(draw_g(jax.random.PRNGKey(seed + gi), jnp.asarray(bound)))
     vw = None

@@ -155,13 +155,13 @@ def lookup_group(
     w = weights
     if vw is not None:
         w = w * jnp.take(vw, gidx.reshape(-1)).reshape(t, b, l)
-    if impl == "pallas":
+    if impl == "pallas" and store.dtype == jnp.float32:
         from dlrm_yx_tpu.ops.pallas_embedding import fused_lookup
 
         return fused_lookup(store, jnp.minimum(gidx, store.shape[0] - 1), w)
     rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(t, b, l, group.dim)
     if l == 1:
-        return rows[:, :, 0, :] * w[:, :, 0][..., None]
+        return rows[:, :, 0, :].astype(jnp.float32) * w[:, :, 0][..., None]
     return jnp.einsum("tbl,tbld->tbd", w, rows.astype(jnp.float32))
 
 

@@ -30,8 +30,15 @@ The reference's correctness anchor for duplicates is grad.coalesce()
 (optim/rwsadagrad.py:98); here row updates are pure additions (optimizer
 math pre-applied in XLA), so duplicate handling is linear and exact.
 
-D must be a multiple of 128 (lanes); rows with D = k*128 move as single
-[k, 128] tile DMAs. Other dims use the XLA path.
+Dtypes: float32 stores move one row per DMA. bfloat16 stores (emb_dtype —
+the fbgemm fp16-weights parity that fits the 10M-ind-range Terabyte tables
+on one 16 GB chip) are sublane-packed on TPU and Mosaic requires 8-aligned
+slices, so the kernel works at 8-ROW granularity for bf16: read the 8-row
+unit, add the update into the target row via a vector select, write the
+unit back. Conflicts are detected at unit granularity. Updates arrive in
+float32 and round to the store dtype at write-back.
+
+D must be a multiple of 128 (lanes). Other dims use the XLA path.
 """
 
 from __future__ import annotations
@@ -56,7 +63,7 @@ def supports_dim(d: int) -> bool:
 
 def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
     """Flag item k if any of the previous WINDOW-1 ACTIVE items updates the
-    same row (vectorized shifts + compares; no sort)."""
+    same row/pair (vectorized shifts + compares; no sort)."""
     k = idx.shape[0]
     pos = jnp.arange(k, dtype=jnp.int32)
     c = jnp.zeros((k,), jnp.bool_)
@@ -67,12 +74,13 @@ def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
     return (c & (active > 0)).astype(jnp.int32)
 
 
-def _kernel(idx_ref, upd_ref, store_ref, out_ref, rrow, wrow, rsem, wsem,
-            *, bk: int, kk: int):
+def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
+            rrow, wrow, rsem, wsem, *, bk: int, kk: int, pk: int):
     """One grid block of bk items; branch-free steady state.
 
-    idx_ref: SMEM [bk] physical tile-row ids (row * kk; masked items point
-    at the sentinel row with a zero update). upd_ref: VMEM [bk, kk, LANES].
+    idx_ref: SMEM [bk] transfer-unit ids (masked items point at the
+    sentinel unit with a zero update); sub_ref: SMEM [bk]
+    target row within the pk-row transfer; upd_ref: VMEM [bk, kk, LANES].
     All row DMA goes through out_ref: on TPU it is the same buffer as
     store_ref (input_output_aliases); in interpret mode (copy-in/copy-out)
     reads must see earlier writes.
@@ -80,24 +88,45 @@ def _kernel(idx_ref, upd_ref, store_ref, out_ref, rrow, wrow, rsem, wsem,
     del store_ref
 
     def read(slot, s):
+        # offset = unit * (pk*kk): the product with the static tile count is
+        # provably aligned for Mosaic's bf16 8-sublane tiling check
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(idx_ref[s], kk)], rrow.at[slot], rsem.at[slot]
+            out_ref.at[pl.ds(idx_ref[s] * (pk * kk), pk * kk)],
+            rrow.at[slot], rsem.at[slot],
         ).start()
 
     def wait_read(slot):
         pltpu.make_async_copy(
-            out_ref.at[pl.ds(0, kk)], rrow.at[slot], rsem.at[slot]
+            out_ref.at[pl.ds(0, pk * kk)], rrow.at[slot], rsem.at[slot]
         ).wait()
 
     def write(slot, s):
         pltpu.make_async_copy(
-            wrow.at[slot], out_ref.at[pl.ds(idx_ref[s], kk)], wsem.at[slot]
+            wrow.at[slot],
+            out_ref.at[pl.ds(idx_ref[s] * (pk * kk), pk * kk)],
+            wsem.at[slot],
         ).start()
 
     def wait_write(slot):
         pltpu.make_async_copy(
-            wrow.at[slot], out_ref.at[pl.ds(0, kk)], wsem.at[slot]
+            wrow.at[slot], out_ref.at[pl.ds(0, pk * kk)], wsem.at[slot]
         ).wait()
+
+    def accumulate(slot, s):
+        if pk == 1:
+            wrow[slot] = (
+                rrow[slot].astype(jnp.float32) + upd_ref[s]
+            ).astype(wrow.dtype)
+        else:
+            # add into the target row of the pk-row transfer (vector select)
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (pk, kk, LANES), 0)
+                == sub_ref[s]
+            )
+            delta = jnp.where(sel, upd_ref[s][None], 0.0)
+            wrow[slot] = (
+                rrow[slot].reshape(pk, kk, LANES).astype(jnp.float32) + delta
+            ).astype(wrow.dtype).reshape(pk * kk, LANES)
 
     for s in range(W):  # prologue: fill the read pipeline
         read(s, s)
@@ -105,7 +134,7 @@ def _kernel(idx_ref, upd_ref, store_ref, out_ref, rrow, wrow, rsem, wsem,
     def body1(s, _):  # first W items: no writes pending yet
         slot = s % W
         wait_read(slot)
-        wrow[slot] = rrow[slot] + upd_ref[s]
+        accumulate(slot, s)
         write(slot, s)
         read(slot, s + W)  # bk >= 2W, so s + W < bk
         return 0
@@ -116,7 +145,7 @@ def _kernel(idx_ref, upd_ref, store_ref, out_ref, rrow, wrow, rsem, wsem,
         slot = s % W
         wait_read(slot)
         wait_write(slot)  # write issued W items ago on this slot
-        wrow[slot] = rrow[slot] + upd_ref[s]
+        accumulate(slot, s)
         write(slot, s)
 
         @pl.when(s + W < bk)
@@ -139,11 +168,11 @@ def sparse_rows_add(
     interpret: bool = False,
 ) -> jax.Array:
     """In-place ``store[idx[k]] += upd[k]`` for active items, touching only
-    the updated rows (plus the sentinel row).
+    the updated rows (plus the sentinel rows).
 
-    store: [R, D] float32, D % 128 == 0; the LAST row must be dead (every
-      group store built by ops/embedding.build_table_groups ends with
-      SENTINEL_ROWS dead rows). The caller should donate the buffer.
+    store: [R, D] float32 or bfloat16, D % 128 == 0; the last SENTINEL_ROWS
+      rows must be dead (every group store built by
+      ops/embedding.build_table_groups ends with them). Donate the buffer.
     idx: [K] int32 row ids in [0, R) (any value OK for inactive items).
     upd: [K, D] float32 update rows (optimizer math pre-applied).
     active: [K] int32/bool; 0 = skip (padding slots, dropped sentinels).
@@ -154,29 +183,39 @@ def sparse_rows_add(
     if not supports_dim(d):
         raise ValueError(f"sparse_rows_add requires D % {LANES} == 0, got {d}")
     kk = d // LANES
+    # bf16 HBM/VMEM slices must be 8-sublane aligned on TPU (packed tiling),
+    # so bf16 stores move 8-row units; f32 moves single rows
+    pk = 1 if store.dtype == jnp.float32 else 8
+    if r % pk:
+        raise ValueError(f"store rows {r} must be a multiple of {pk}")
     store_phys = store.reshape(r * kk, LANES)
 
     active = active.astype(jnp.int32)
-    safe_idx = jnp.where(active > 0, jnp.clip(idx, 0, r - 2), r - 1).astype(
+    safe_idx = jnp.where(active > 0, jnp.clip(idx, 0, r - 1 - pk), r - 1).astype(
         jnp.int32
     )
-    is_conf = conflict_flags(safe_idx, active)
+    unit = safe_idx // pk  # hazard/transfer granularity
+    is_conf = conflict_flags(unit, active)
     redirect = (active == 0) | (is_conf > 0)
-    main_idx = jnp.where(redirect, r - 1, safe_idx)
+    sentinel_unit = (r - pk) // pk
+    main_unit = jnp.where(redirect, sentinel_unit, unit)
+    sub = jnp.where(redirect, 0, safe_idx % pk).astype(jnp.int32)
     main_upd = jnp.where(redirect[:, None], 0.0, upd)
-    phys_idx = (main_idx * kk).astype(jnp.int32)
+    phys_idx = main_unit.astype(jnp.int32)  # unit ids; kernel scales by pk*kk
 
     bk = max(2 * W, min(BK, k))
     pad = (-k) % bk
     if pad:
-        phys_idx = jnp.pad(phys_idx, (0, pad), constant_values=(r - 1) * kk)
+        phys_idx = jnp.pad(phys_idx, (0, pad), constant_values=sentinel_unit)
+        sub = jnp.pad(sub, (0, pad))
         main_upd = jnp.pad(main_upd, ((0, pad), (0, 0)))
         k += pad
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bk=bk, kk=kk),
+        functools.partial(_kernel, bk=bk, kk=kk, pk=pk),
         grid=(k // bk,),
         in_specs=[
+            pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (bk, kk, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -186,17 +225,17 @@ def sparse_rows_add(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(store_phys.shape, store_phys.dtype),
         scratch_shapes=[
-            pltpu.VMEM((W, kk, LANES), jnp.float32),
-            pltpu.VMEM((W, kk, LANES), jnp.float32),
+            pltpu.VMEM((W, pk * kk, LANES), store.dtype),
+            pltpu.VMEM((W, pk * kk, LANES), store.dtype),
             pltpu.SemaphoreType.DMA((W,)),
             pltpu.SemaphoreType.DMA((W,)),
         ],
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(phys_idx, main_upd.reshape(k, kk, LANES), store_phys)
+    )(phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys)
     out = out.reshape(r, d)
 
     # exact tail pass for the redirected (conflicted) items
@@ -209,18 +248,21 @@ def sparse_rows_add(
     def apply_seq(s):
         def b(i, s):
             row = conf_idx[i]
-            return jax.lax.dynamic_update_index_in_dim(
-                s,
-                jax.lax.dynamic_index_in_dim(s, row, 0, False) + conf_upd[i],
-                row,
-                0,
-            )
+            new_row = (
+                jax.lax.dynamic_index_in_dim(s, row, 0, False).astype(
+                    jnp.float32
+                )
+                + conf_upd[i]
+            ).astype(s.dtype)
+            return jax.lax.dynamic_update_index_in_dim(s, new_row, row, 0)
 
         return jax.lax.fori_loop(0, jnp.minimum(nconf, CMAX), b, s)
 
     def fallback(s):
         # adversarial overflow: exact XLA scatter of ALL conflicted items
         all_idx = jnp.where(is_conf > 0, safe_idx, r - 1)
-        return s.at[all_idx].add(upd * is_conf[:, None], mode="drop")
+        return s.at[all_idx].add(
+            (upd * is_conf[:, None]).astype(s.dtype), mode="drop"
+        )
 
     return jax.lax.cond(nconf <= CMAX, apply_seq, fallback, out)

@@ -55,7 +55,7 @@ def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -
         for k in ("bot", "top")
     }
     if opt.name == "adagrad":
-        emb = [jnp.zeros_like(e) for e in params["emb"]]
+        emb = [jnp.zeros(e.shape, jnp.float32) for e in params["emb"]]
     else:  # rwsadagrad: one accumulator per row
         emb = [jnp.zeros((e.shape[0],), jnp.float32) for e in params["emb"]]
     state = {"dense": dense, "emb": emb}
@@ -181,7 +181,10 @@ def sparse_update(
 
     if opt.name == "sgd":
         # linear update: scatter-add handles duplicates exactly
-        return store.at[flat_idx].add(-lr * flat_g, mode="drop"), acc
+        return (
+            store.at[flat_idx].add((-lr * flat_g).astype(store.dtype), mode="drop"),
+            acc,
+        )
 
     if store.shape[0] * store.shape[1] * 4 < PALLAS_MIN_STORE_BYTES:
         # small store: dense-accumulate instead of sort-based coalescing.
@@ -190,22 +193,31 @@ def sparse_update(
         # untouched rows see zero grad, so the Adagrad-family update is a
         # no-op for them — identical semantics, no 36k-key sort (~2 ms on
         # v5e) in the hot path.
-        dense_g = jnp.zeros_like(store).at[flat_idx].add(flat_g, mode="drop")
+        dense_g = (
+            jnp.zeros(store.shape, jnp.float32).at[flat_idx].add(flat_g, mode="drop")
+        )
         if opt.name == "adagrad":
             acc = acc + dense_g * dense_g
-            return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps), acc
+            upd = store.astype(jnp.float32) - lr * dense_g / (jnp.sqrt(acc) + opt.eps)
+            return upd.astype(store.dtype), acc
         if row_dim is None:
             mom = jnp.mean(dense_g * dense_g, axis=-1)
         else:
             mom = jnp.sum(dense_g * dense_g, axis=-1) / row_dim
         acc = acc + mom
-        return store - lr * dense_g / (jnp.sqrt(acc) + opt.eps)[:, None], acc
+        upd = store.astype(jnp.float32) - lr * dense_g / (
+            jnp.sqrt(acc) + opt.eps
+        )[:, None]
+        return upd.astype(store.dtype), acc
 
     uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
     if opt.name == "adagrad":
         acc = acc.at[uniq].add(sg * sg, mode="drop")
         denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
-        return store.at[uniq].add(-lr * sg / denom, mode="drop"), acc
+        return (
+            store.at[uniq].add((-lr * sg / denom).astype(store.dtype), mode="drop"),
+            acc,
+        )
 
     # rwsadagrad: row momentum += mean(g^2 over dim); update rows by
     # g / (sqrt(momentum_new) + eps)  (rwsadagrad.py:108-115)
@@ -217,7 +229,12 @@ def sparse_update(
         )
     acc = acc.at[uniq].add(mom_inc, mode="drop")
     denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
-    return store.at[uniq].add(-lr * sg / denom[:, None], mode="drop"), acc
+    return (
+        store.at[uniq].add(
+            (-lr * sg / denom[:, None]).astype(store.dtype), mode="drop"
+        ),
+        acc,
+    )
 
 
 def sparse_update_1d(

