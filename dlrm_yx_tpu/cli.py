@@ -116,6 +116,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(kernel-updated); 0 disables splitting")
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--stochastic-rounding", action="store_true", default=False)
     p.add_argument("--emb-dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="table storage dtype; bfloat16 halves HBM (fbgemm "
@@ -189,6 +190,7 @@ def config_from_args(args) -> DLRMConfig:
         weighted_pooling=args.weighted_pooling,
         compute_dtype=args.compute_dtype,
         emb_dtype=args.emb_dtype,
+        stochastic_rounding=args.stochastic_rounding,
         lookup_impl=args.lookup_impl,
         sparse_update_impl=args.sparse_update_impl,
         emb_split_threshold=args.emb_split_threshold,

@@ -66,6 +66,11 @@ class DLRMConfig:
     # must accumulate (the reference's fbgemm path has the same trade,
     # mitigated there by stochastic rounding).
     emb_dtype: str = "float32"
+    # stochastic rounding for reduced-precision table updates (the
+    # reference kernel's stochastic_rounding flag, dlrm_s_pytorch.py:333):
+    # small updates that deterministic bf16 rounding would drop land in
+    # expectation. Kernel path only, like the reference.
+    stochastic_rounding: bool = False
     # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
     # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
     lookup_impl: str = "xla"

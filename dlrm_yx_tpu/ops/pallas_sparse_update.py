@@ -74,8 +74,9 @@ def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
     return (c & (active > 0)).astype(jnp.int32)
 
 
-def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
-            rrow, wrow, rsem, wsem, *, bk: int, kk: int, pk: int):
+def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
+            rrow, wrow, rsem, wsem, *, bk: int, kk: int, pk: int,
+            sr: bool):
     """One grid block of bk items; branch-free steady state.
 
     idx_ref: SMEM [bk] transfer-unit ids (masked items point at the
@@ -86,6 +87,8 @@ def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
     reads must see earlier writes.
     """
     del store_ref
+    if sr:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
 
     def read(slot, s):
         # offset = unit * (pk*kk): the product with the static tile count is
@@ -112,11 +115,26 @@ def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
             wrow.at[slot], out_ref.at[pl.ds(0, pk * kk)], wsem.at[slot]
         ).wait()
 
+    def _round(v, sel):
+        """f32 -> store dtype; optional stochastic rounding (the reference
+        kernel's stochastic_rounding flag, dlrm_s_pytorch.py:333) applied
+        ONLY to updated rows — SR on an exactly-representable unchanged
+        value could bump it to the next bf16."""
+        if not sr:
+            return v.astype(wrow.dtype)
+        bits = pltpu.prng_random_bits(v.shape)
+        u = pltpu.bitcast(v, jnp.uint32) + (
+            pltpu.bitcast(bits, jnp.uint32) & jnp.uint32(0xFFFF)
+        )
+        sr_val = pltpu.bitcast(
+            u & jnp.uint32(0xFFFF0000), jnp.float32
+        ).astype(wrow.dtype)
+        return jnp.where(sel, sr_val, v.astype(wrow.dtype))
+
     def accumulate(slot, s):
         if pk == 1:
-            wrow[slot] = (
-                rrow[slot].astype(jnp.float32) + upd_ref[s]
-            ).astype(wrow.dtype)
+            v = rrow[slot].astype(jnp.float32) + upd_ref[s]
+            wrow[slot] = _round(v, jnp.bool_(True))
         else:
             # add into the target row of the pk-row transfer (vector select)
             sel = (
@@ -124,9 +142,8 @@ def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
                 == sub_ref[s]
             )
             delta = jnp.where(sel, upd_ref[s][None], 0.0)
-            wrow[slot] = (
-                rrow[slot].reshape(pk, kk, LANES).astype(jnp.float32) + delta
-            ).astype(wrow.dtype).reshape(pk * kk, LANES)
+            v = rrow[slot].reshape(pk, kk, LANES).astype(jnp.float32) + delta
+            wrow[slot] = _round(v, sel).reshape(pk * kk, LANES)
 
     for s in range(W):  # prologue: fill the read pipeline
         read(s, s)
@@ -159,13 +176,17 @@ def _kernel(idx_ref, sub_ref, upd_ref, store_ref, out_ref,
         wait_write(s)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "stochastic_round")
+)
 def sparse_rows_add(
     store: jax.Array,
     idx: jax.Array,
     upd: jax.Array,
     active: jax.Array,
     interpret: bool = False,
+    stochastic_round: bool = False,
+    seed=0,
 ) -> jax.Array:
     """In-place ``store[idx[k]] += upd[k]`` for active items, touching only
     the updated rows (plus the sentinel rows).
@@ -211,10 +232,12 @@ def sparse_rows_add(
         main_upd = jnp.pad(main_upd, ((0, pad), (0, 0)))
         k += pad
 
+    sr = bool(stochastic_round) and store.dtype != jnp.float32 and not interpret
     out = pl.pallas_call(
-        functools.partial(_kernel, bk=bk, kk=kk, pk=pk),
+        functools.partial(_kernel, bk=bk, kk=kk, pk=pk, sr=sr),
         grid=(k // bk,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -230,12 +253,15 @@ def sparse_rows_add(
             pltpu.SemaphoreType.DMA((W,)),
             pltpu.SemaphoreType.DMA((W,)),
         ],
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys)
+    )(
+        jnp.asarray([seed], jnp.int32),
+        phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys,
+    )
     out = out.reshape(r, d)
 
     # exact tail pass for the redirected (conflicted) items

