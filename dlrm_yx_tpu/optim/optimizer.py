@@ -91,6 +91,27 @@ def dense_update(
     return p - lr * g / (jnp.sqrt(acc) + opt.eps), acc
 
 
+def update_dense_towers(opt: OptConfig, params, opt_state, g_dense, lr):
+    """Apply dense updates to the bot/top MLP towers (shared by the
+    single-device and every sharded train step). Returns
+    (new_params_partial, new_state_partial) dicts keyed 'bot'/'top'."""
+    new_p, new_s = {}, {}
+    for k in ("bot", "top"):
+        layers, accs = [], []
+        for i, (w, b) in enumerate(params[k]):
+            gw, gb = g_dense[k][i]
+            aw, ab = (
+                opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+            )
+            w2, aw2 = dense_update(opt, w, gw, aw, lr)
+            b2, ab2 = dense_update(opt, b, gb, ab, lr)
+            layers.append((w2, b2))
+            accs.append((aw2, ab2))
+        new_p[k] = layers
+        new_s[k] = accs
+    return new_p, new_s
+
+
 # use the row-RMW kernel only when the XLA full-store rewrite would be
 # expensive; small stores scatter fast and exactly in XLA
 PALLAS_MIN_STORE_BYTES = 64 << 20

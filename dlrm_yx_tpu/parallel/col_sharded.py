@@ -41,7 +41,11 @@ from dlrm_yx_tpu.ops.coalesce import coalesce_rows
 from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
-from dlrm_yx_tpu.optim.optimizer import OptConfig, dense_update
+from dlrm_yx_tpu.optim.optimizer import (
+    OptConfig,
+    dense_update,
+    update_dense_towers,
+)
 
 ROW_ALIGN = 8
 
@@ -236,19 +240,11 @@ def make_col_sharded_train_step(
 
         new_params = dict(params)
         new_state = dict(opt_state)
-        for k in ("bot", "top"):
-            new_layers, new_acc = [], []
-            for i, (w, b) in enumerate(params[k]):
-                gw, gb = g_dense[k][i]
-                aw, ab = opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
-                w2, aw2 = dense_update(opt, w, gw, aw, lr)
-                b2, ab2 = dense_update(opt, b, gb, ab, lr)
-                new_layers.append((w2, b2))
-                new_acc.append((aw2, ab2))
-            new_params[k] = new_layers
-            if opt.name != "sgd":
-                new_state["dense"] = dict(new_state["dense"])
-                new_state["dense"][k] = new_acc
+        dp_new, ds_new = update_dense_towers(opt, params, opt_state, g_dense, lr)
+        new_params.update({k: dp_new[k] for k in ("bot", "top")})
+        if opt.name != "sgd":
+            new_state["dense"] = dict(new_state["dense"])
+            new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
 
         # sparse updates on the local column slice; fold batch over "data"
         t, bd, l = batch.indices.shape

@@ -33,19 +33,17 @@ from dlrm_yx_tpu.models.dlrm import (
 from dlrm_yx_tpu.ops.embedding import flat_row_grads, vw_row_grads
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.qr_embedding import qr_row_grads
-def _interpret() -> bool:
-    """Pallas kernels run in interpret mode off-TPU (CPU test meshes)."""
-    import jax as _jax
-
-    return _jax.default_backend() != "tpu"
-
-
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
     sparse_update,
     sparse_update_1d,
 )
+
+
+def _interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
 
 
 def apply_gradients(
