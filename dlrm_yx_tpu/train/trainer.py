@@ -156,51 +156,77 @@ class Trainer:
             self.start_epoch, self.skip_batches = skip_position(
                 self._resume_meta, nbatches
             )
-        timer = StepTimer()
-        accum_loss = 0.0
-        accum_n = 0
+        import time as _time
+
+        pending: List = []  # device losses; fetched only at print boundaries
         stop = False
         summary = {}
         for epoch in range(self.start_epoch, tcfg.nepochs):
             if self.events:
                 self.events.log_start("epoch_start", {"epoch_num": epoch})
-            it_source = (
+            it_source = iter(
                 train_batches() if callable(train_batches) else train_batches
             )
-            for j, b in enumerate(it_source):
-                if epoch == self.start_epoch and j < self.skip_batches:
-                    continue
-                timer.start()
+            # one-batch host->device prefetch: the next batch's transfer
+            # overlaps the current step (the reference relies on DataLoader
+            # worker prefetch + non-blocking H2D for the same purpose;
+            # per-step blocking would serialize the ~30 ms relay round trip
+            # and the batch transfer with compute)
+            nxt = None
+            j = -1
+            while True:
+                if nxt is None:
+                    try:
+                        j += 1
+                        nb = next(it_source)
+                    except StopIteration:
+                        break
+                    if epoch == self.start_epoch and j < self.skip_batches:
+                        continue
+                    nxt = self._prepare(nb)
+                cur = nxt
+                nxt = None
+                try:
+                    j += 1
+                    nb = next(it_source)
+                    if not (epoch == self.start_epoch and j < self.skip_batches):
+                        nxt = self._prepare(nb)  # async H2D under the step
+                except StopIteration:
+                    pass
+                if not pending:
+                    span_t0 = _time.perf_counter()
                 self.params, self.opt_state, loss = self.train_step(
-                    self.params, self.opt_state,
-                    self._prepare(b), self.iteration,
+                    self.params, self.opt_state, cur, self.iteration
                 )
-                loss = float(loss)  # blocks; keeps timing honest
-                timer.stop()
-                accum_loss += loss
-                accum_n += 1
+                pending.append(loss)
                 self.iteration += 1
 
                 if tcfg.print_freq and self.iteration % tcfg.print_freq == 0:
-                    ms = timer.mean_ms()
-                    avg_loss = accum_loss / max(accum_n, 1)
+                    losses = [float(x) for x in pending]  # drains the chain
+                    ms = (_time.perf_counter() - span_t0) / len(pending) * 1e3
+                    avg_loss = sum(losses) / max(len(losses), 1)
+                    pending = []
                     rank0_print(
                         f"Finished training it {self.iteration} of epoch "
                         f"{epoch}, {ms:.2f} ms/it, loss {avg_loss:.6f}"
                     )
                     if self.writer:
                         self.writer.add_scalar("Train/Loss", avg_loss, self.iteration)
-                    accum_loss, accum_n = 0.0, 0
-                    timer = StepTimer(warmup_iters=0)
 
                 if (
                     test_batches is not None
                     and tcfg.test_freq
                     and self.iteration % tcfg.test_freq == 0
                 ):
+                    if pending:
+                        _ = [float(x) for x in pending]
+                        pending = []
                     stop, summary = self._run_eval(test_batches, epoch)
                     if stop:
                         break
+            if pending:
+                _ = [float(x) for x in pending]
+                pending = []
             if self.events:
                 self.events.log_end("epoch_stop", {"epoch_num": epoch})
             if stop:
