@@ -11,7 +11,7 @@ python -m dlrm_yx_tpu.cli \
   --arch-mlp-bot=512-512-64 \
   --arch-mlp-top=1024-1024-1024-1 \
   --arch-interaction-op=dot \
-  --data-generation=random \
+  --data-generation=random-device \
   --num-indices-per-lookup=100 \
   --mini-batch-size=2048 --num-batches=100 \
   --loss-function=bce --round-targets=True --learning-rate=0.1 \

@@ -60,7 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-batches", type=int, default=0)
     p.add_argument(
         "--data-generation", type=str, default="random",
-        help="random | synthetic | dataset | processed",
+        help="random | random-device | synthetic | dataset | processed "
+             "(random-device samples batches in HBM with jax.random — no "
+             "host link traffic; use for synthetic benchmarks)",
     )
     p.add_argument("--rand-data-dist", type=str, default="uniform")  # uniform or gaussian
     p.add_argument("--rand-data-min", type=float, default=0)
@@ -214,6 +216,21 @@ def make_data(args, cfg):
         )
         train = make_random_batches(dc)
         test = make_random_batches(dc, seed=args.numpy_rand_seed + 1)
+        return train, (lambda: test)
+    if args.data_generation == "random-device":
+        from dlrm_yx_tpu.data.synthetic import make_device_random_batches
+
+        nb = args.num_batches or int(np.ceil(args.data_size / args.mini_batch_size))
+        train = make_device_random_batches(
+            cfg.emb_rows, cfg.ln_bot[0], args.mini_batch_size, nb,
+            args.num_indices_per_lookup, args.num_indices_per_lookup_fixed,
+            bool(args.round_targets), args.numpy_rand_seed,
+        )
+        test = make_device_random_batches(
+            cfg.emb_rows, cfg.ln_bot[0], args.mini_batch_size, nb,
+            args.num_indices_per_lookup, args.num_indices_per_lookup_fixed,
+            bool(args.round_targets), args.numpy_rand_seed + 1,
+        )
         return train, (lambda: test)
     if args.data_generation == "synthetic":
         from dlrm_yx_tpu.data.trace import make_trace_batches

@@ -97,3 +97,64 @@ def make_random_batches(cfg: RandomDataConfig, seed: Optional[int] = None) -> Li
             labels = np.round(labels).astype(np.float32)
         batches.append(Batch(dense, indices, weights, labels))
     return batches
+
+
+def make_device_random_batches(
+    emb_rows,
+    m_den: int,
+    mini_batch_size: int,
+    num_batches: int,
+    num_indices_per_lookup: int,
+    num_indices_per_lookup_fixed: bool = False,
+    round_targets: bool = True,
+    seed: int = 123,
+):
+    """Random batches generated ON DEVICE with jax.random — no host->device
+    transfer at all. The host-side generator (make_random_batches) mirrors
+    the reference's numpy generation exactly; this variant exists because a
+    synthetic benchmark should not be bound by the host link (33 MB/batch at
+    L=100 costs ~0.5 s over a tunneled relay; ~0 when sampled in HBM).
+
+    Returns a list-like lazily sampling [Batch] of device arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.data.batch import Batch
+
+    t = len(emb_rows)
+    l = num_indices_per_lookup
+    rows = jnp.asarray(np.array(emb_rows, np.int32))
+
+    @jax.jit
+    def sample(key):
+        kd, ki, kl, ky = jax.random.split(key, 4)
+        dense = jax.random.uniform(kd, (mini_batch_size, m_den), jnp.float32)
+        u = jax.random.uniform(ki, (t, mini_batch_size, l), jnp.float32)
+        idx = (u * rows[:, None, None]).astype(jnp.int32)
+        if num_indices_per_lookup_fixed:
+            w = jnp.ones((t, mini_batch_size, l), jnp.float32)
+        else:
+            lens = jax.random.randint(kl, (t, mini_batch_size), 1, l + 1)
+            w = (
+                jnp.arange(l)[None, None, :] < lens[..., None]
+            ).astype(jnp.float32)
+        y = jax.random.uniform(ky, (mini_batch_size, 1), jnp.float32)
+        if round_targets:
+            y = (y > 0.5).astype(jnp.float32)
+        return Batch(dense, idx, w, y)
+
+    key = jax.random.PRNGKey(seed)
+
+    class _DeviceBatches:
+        def __len__(self):
+            return num_batches
+
+        def __iter__(self):
+            for i in range(num_batches):
+                yield sample(jax.random.fold_in(key, i))
+
+        def __getitem__(self, i):
+            return sample(jax.random.fold_in(key, i))
+
+    return _DeviceBatches()

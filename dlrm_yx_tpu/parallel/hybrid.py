@@ -29,7 +29,6 @@ semantics to preserve"):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -28,7 +28,6 @@ from dlrm_yx_tpu.train.checkpoint import load_checkpoint, save_checkpoint, skip_
 from dlrm_yx_tpu.train.metrics import StreamingAUC, binary_metrics
 from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
 from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
-from dlrm_yx_tpu.utils.profiling import StepTimer
 
 
 @dataclasses.dataclass

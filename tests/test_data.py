@@ -337,3 +337,31 @@ def test_repo_fixtures_usable():
         "input/dist_emb_j.log", [50, 79, 89], 4, 4, 2, 3
     )
     assert len(batches) == 2
+
+
+def test_device_random_batches():
+    """On-device synthetic generator: shapes, determinism, mask validity."""
+    import jax
+
+    from dlrm_yx_tpu.data.synthetic import make_device_random_batches
+
+    rows = (50, 200, 1000)
+    ds = make_device_random_batches(rows, 4, 8, 3, 5, False, True, seed=9)
+    assert len(ds) == 3
+    b0a, b0b = ds[0], ds[0]
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(b0a.indices), np.asarray(b0b.indices))
+    assert b0a.indices.shape == (3, 8, 5)
+    idx = np.asarray(b0a.indices)
+    for t, n in enumerate(rows):
+        assert idx[t].max() < n and idx[t].min() >= 0
+    w = np.asarray(b0a.weights)
+    # masks are prefixes of length >= 1
+    assert ((w == 0) | (w == 1)).all()
+    assert (w[:, :, 0] == 1).all()
+    lbl = np.asarray(b0a.labels)
+    assert set(np.unique(lbl)) <= {0.0, 1.0}
+    # different batch -> different draw
+    b1 = ds[1]
+    assert not np.array_equal(np.asarray(b1.indices), idx)
