@@ -371,11 +371,24 @@ def main(argv=None):
         from dlrm_yx_tpu.train.train_step import make_train_step as _mts
 
         b0 = trainer._prepare(train[0] if hasattr(train, "__getitem__") else next(iter(train)))
-        arts = collect_execution_graph(
-            _mts(cfg, opt, jit=False),
-            (trainer.params, trainer.opt_state, b0, 0),
-            args.profile_out_dir, "train_step",
-        ) if runner is None else {"skipped": "hybrid graph dump not supported"}
+        if runner is None:
+            arts = collect_execution_graph(
+                _mts(cfg, opt, jit=False),
+                (trainer.params, trainer.opt_state, b0, 0),
+                args.profile_out_dir, "train_step",
+            )
+        else:
+            # sharded step: dump the lowered (pre-SPMD-partitioning) module
+            import os as _os
+
+            _os.makedirs(args.profile_out_dir, exist_ok=True)
+            lowered = trainer.train_step.lower(
+                trainer.params, trainer.opt_state, b0, 0
+            )
+            path = _os.path.join(args.profile_out_dir, "hybrid_step.stablehlo.txt")
+            with open(path, "w") as f:
+                f.write(lowered.as_text())
+            arts = {"stablehlo": path}
         rank0_print(f"execution graph artifacts: {arts}")
 
     t0 = time.time()

@@ -142,7 +142,7 @@ def fused_lookup(
             pl.BlockSpec(
                 (1, bb, l), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, bb, k, LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM

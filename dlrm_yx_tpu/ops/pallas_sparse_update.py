@@ -243,9 +243,9 @@ def sparse_rows_add(
             pl.BlockSpec(
                 (bk, kk, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(store_phys.shape, store_phys.dtype),
         scratch_shapes=[
             pltpu.VMEM((W, pk * kk, LANES), store.dtype),
