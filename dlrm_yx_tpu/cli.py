@@ -132,6 +132,10 @@ def build_parser() -> argparse.ArgumentParser:
     # store/load model
     p.add_argument("--save-model", type=str, default="")
     p.add_argument("--load-model", type=str, default="")
+    p.add_argument("--ckpt-backend", type=str, default="npz",
+                   choices=["npz", "orbax"],
+                   help="npz: portable single-file; orbax: sharded, "
+                        "multi-host-correct")
     # mlperf
     p.add_argument("--inference-only", action="store_true", default=False)
     p.add_argument("--save-onnx", action="store_true", default=False)
@@ -327,6 +331,7 @@ def main(argv=None):
         mlperf_auc_threshold=args.mlperf_auc_threshold,
         save_path=args.save_model,
         load_path=args.load_model,
+        ckpt_backend=args.ckpt_backend,
         tb_logdir=args.tensor_board_filename,
         seed=args.numpy_rand_seed,
     )

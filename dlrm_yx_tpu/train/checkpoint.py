@@ -77,3 +77,61 @@ def skip_position(meta: Dict, nbatches: int) -> Tuple[int, int]:
     if nbatches and it >= nbatches:
         return ep + it // nbatches, it % nbatches
     return ep, it
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend: sharded, multi-host-correct checkpoints
+# ---------------------------------------------------------------------------
+# The npz backend above gathers every array to THIS host — right for
+# single-host runs and portable artifacts, wrong for multi-host meshes where
+# each process only holds its addressable shards. Orbax writes/reads shards
+# per host (the "orbax-style sharded checkpoint" SURVEY.md §5 calls for).
+
+def save_checkpoint_orbax(
+    path: str,
+    params,
+    opt_state,
+    *,
+    epoch: int = 0,
+    iteration: int = 0,
+    train_loss: float = 0.0,
+    metrics: Dict[str, float] | None = None,
+) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.join(path, "state"),
+            {"params": params, "opt_state": opt_state},
+            force=True,
+        )
+    meta = {
+        "epoch": int(epoch),
+        "iteration": int(iteration),
+        "train_loss": float(train_loss),
+        "metrics": {k: float(v) for k, v in (metrics or {}).items()},
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint_orbax(path: str, params_like, opt_state_like):
+    """Restore with the target pytree's shardings (pass pytrees of arrays
+    already placed on the mesh — each host restores its shards)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    target = {"params": params_like, "opt_state": opt_state_like}
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+        if hasattr(x, "shape")
+        else x,
+        target,
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(path, "state"), abstract)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return state["params"], state["opt_state"], meta

@@ -24,7 +24,13 @@ from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
 from dlrm_yx_tpu.optim.lr_policy import LRPolicy
 from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
-from dlrm_yx_tpu.train.checkpoint import load_checkpoint, save_checkpoint, skip_position
+from dlrm_yx_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_checkpoint_orbax,
+    save_checkpoint,
+    save_checkpoint_orbax,
+    skip_position,
+)
 from dlrm_yx_tpu.train.metrics import StreamingAUC, binary_metrics
 from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
 from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
@@ -42,6 +48,8 @@ class TrainerConfig:
     load_path: str = ""              # resume checkpoint dir
     tb_logdir: str = ""              # TensorBoard/JSONL scalars
     seed: int = 123
+    ckpt_backend: str = "npz"        # npz (portable, host-gathered) |
+                                     # orbax (sharded, multi-host-correct)
 
 
 class Trainer:
@@ -83,13 +91,19 @@ class Trainer:
         self.start_epoch = 0
         self.skip_batches = 0
         if tcfg.load_path:
-            self.params, self.opt_state, meta = load_checkpoint(
-                tcfg.load_path, self.params, self.opt_state
-            )
-            if runner is not None:
-                self.params, self.opt_state = runner.reshard(
-                    self.params, self.opt_state
+            if tcfg.ckpt_backend == "orbax":
+                # restores each host's shards in place — no reshard needed
+                self.params, self.opt_state, meta = load_checkpoint_orbax(
+                    tcfg.load_path, self.params, self.opt_state
                 )
+            else:
+                self.params, self.opt_state, meta = load_checkpoint(
+                    tcfg.load_path, self.params, self.opt_state
+                )
+                if runner is not None:
+                    self.params, self.opt_state = runner.reshard(
+                        self.params, self.opt_state
+                    )
             self.best_acc = meta["metrics"].get("accuracy", 0.0)
             self.iteration = meta["iteration"]
             self._resume_meta = meta
@@ -256,7 +270,12 @@ class Trainer:
                 if k != "accuracy" and np.isfinite(v):
                     self.writer.add_scalar(f"mlperf-metrics-test/{k}", v, self.iteration)
         if is_best and self.tcfg.save_path:
-            save_checkpoint(
+            save_fn = (
+                save_checkpoint_orbax
+                if self.tcfg.ckpt_backend == "orbax"
+                else save_checkpoint
+            )
+            save_fn(
                 self.tcfg.save_path, self.params, self.opt_state,
                 epoch=epoch, iteration=self.iteration, metrics=metrics,
             )
