@@ -150,6 +150,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-num-warmup-steps", type=int, default=0)
     p.add_argument("--lr-decay-start-step", type=int, default=0)
     p.add_argument("--lr-num-decay-steps", type=int, default=0)
+    # reference-compat flags accepted as no-ops: the TPU runtime/XLA subsumes
+    # them (backend pick, DDP buckets, pinned memory, loader workers) or the
+    # storage is always table-batched here (--batched-emb/--fbgemm-emb)
+    p.add_argument("--batched-emb", action="store_true", default=False)
+    p.add_argument("--fbgemm-emb", action="store_true", default=False)
+    p.add_argument("--sync-dense-params", type=bool, default=True)
+    p.add_argument("--bucket-size-mb", type=int, default=25)
+    p.add_argument("--dist-backend", type=str, default="")
+    p.add_argument("--local-rank", type=int, default=-1)
+    p.add_argument("--pin-memory", action="store_true", default=False)
+    p.add_argument("--early-barrier", action="store_true", default=False)
+    p.add_argument("--aggregated-allreduce", action="store_true", default=False)
+    p.add_argument("--test-num-workers", type=int, default=-1)
+    # the reference's execution-graph flag (ExecutionGraphObserver,
+    # dlrm_s_pytorch.py:1810-1814) = our compute-graph dump
+    p.add_argument("--collect-execution-graph", action="store_true",
+                   default=False)
     # gating / reporting
     p.add_argument("--print-freq", type=int, default=1)
     p.add_argument("--test-freq", type=int, default=-1)
@@ -371,7 +388,7 @@ def main(argv=None):
         rank0_print("inference metrics:", metrics)
         return metrics
 
-    if args.plot_compute_graph:
+    if args.plot_compute_graph or args.collect_execution_graph:
         from dlrm_yx_tpu.export import collect_execution_graph
         from dlrm_yx_tpu.train.train_step import make_train_step as _mts
 
