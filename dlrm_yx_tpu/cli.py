@@ -285,11 +285,12 @@ def make_data(args, cfg):
         prefix = args.processed_data_file or args.raw_data_file
         train = CriteoNpzLoader(
             prefix, days, args.mini_batch_size, split="train",
-            max_ind_range=args.max_ind_range,
+            max_ind_range=args.max_ind_range, memory_map=args.memory_map,
         )
         tb = args.test_mini_batch_size if args.test_mini_batch_size > 0 else args.mini_batch_size
         test = CriteoNpzLoader(
             prefix, days, tb, split="test", max_ind_range=args.max_ind_range,
+            memory_map=args.memory_map,
         )
         return train, (lambda: test)
     sys.exit(f"ERROR: --data-generation={args.data_generation} is not supported")

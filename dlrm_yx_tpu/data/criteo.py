@@ -262,12 +262,14 @@ class CriteoNpzLoader:
         split: str = "train",
         max_ind_range: int = -1,
         drop_last: bool = True,
+        memory_map: bool = False,
     ):
         self.prefix = prefix
         self.batch_size = batch_size
         self.split = split
         self.max_ind_range = max_ind_range
         self.drop_last = drop_last
+        self.memory_map = memory_map
         if split == "train":
             self.day_range = list(range(days - 1))
         else:
@@ -284,8 +286,16 @@ class CriteoNpzLoader:
         return n // b if self.drop_last else -(-n // b)
 
     def _day_arrays(self, i):
-        with np.load(f"{self.prefix}_day_{i}_reordered.npz") as d:
-            xc, xi, y = d["X_cat"], d["X_int"], d["y"]
+        if self.memory_map:
+            # uncompressed per-array .npy views (convert_days_to_memmap);
+            # the reference's --memory-map path similarly builds per-feature
+            # .npy memmaps (data_utils.py, SURVEY.md §2 #16)
+            xc = np.load(f"{self.prefix}_day_{i}_X_cat.npy", mmap_mode="r")
+            xi = np.load(f"{self.prefix}_day_{i}_X_int.npy", mmap_mode="r")
+            y = np.load(f"{self.prefix}_day_{i}_y.npy", mmap_mode="r")
+        else:
+            with np.load(f"{self.prefix}_day_{i}_reordered.npz") as d:
+                xc, xi, y = d["X_cat"], d["X_int"], d["y"]
         if self.split in ("test", "val"):
             mid = int(np.ceil(len(y) / 2.0))
             sl = slice(0, mid) if self.split == "test" else slice(mid, None)
@@ -324,3 +334,16 @@ class CriteoNpzLoader:
             weights=np.ones((SPA, bsz, 1), dtype=np.float32),
             labels=y.reshape(-1, 1).astype(np.float32),
         )
+
+
+def convert_days_to_memmap(prefix: str, days: int) -> None:
+    """Unpack per-day reordered npz into raw .npy files so the loader can
+    memory-map them (--memory-map; batches then read pages on demand instead
+    of decompressing whole days into RAM — the capability the reference's
+    1-TB-RAM-avoiding memmap flow provides, data_utils.py / SURVEY.md §2 #16).
+    """
+    for i in range(days):
+        with np.load(f"{prefix}_day_{i}_reordered.npz") as d:
+            np.save(f"{prefix}_day_{i}_X_cat.npy", d["X_cat"])
+            np.save(f"{prefix}_day_{i}_X_int.npy", d["X_int"])
+            np.save(f"{prefix}_day_{i}_y.npy", d["y"])

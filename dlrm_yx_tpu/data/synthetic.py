@@ -158,3 +158,37 @@ def make_device_random_batches(
             return sample(jax.random.fold_in(key, i))
 
     return _DeviceBatches()
+
+
+def save_batches_hdf5(path: str, batches) -> None:
+    """Persist generated batches, one HDF5 group per batch (the reference's
+    per-batch .hdf5 persistence of RandomDataset, dlrm_data_pytorch.py
+    SURVEY.md §2 #18)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.attrs["num_batches"] = len(batches)
+        for i, b in enumerate(batches):
+            g = f.create_group(f"batch_{i}")
+            g.create_dataset("dense", data=np.asarray(b.dense))
+            g.create_dataset("indices", data=np.asarray(b.indices))
+            g.create_dataset("weights", data=np.asarray(b.weights))
+            g.create_dataset("labels", data=np.asarray(b.labels))
+
+
+def load_batches_hdf5(path: str):
+    import h5py
+
+    out = []
+    with h5py.File(path, "r") as f:
+        for i in range(int(f.attrs["num_batches"])):
+            g = f[f"batch_{i}"]
+            out.append(
+                Batch(
+                    dense=np.asarray(g["dense"]),
+                    indices=np.asarray(g["indices"]),
+                    weights=np.asarray(g["weights"]),
+                    labels=np.asarray(g["labels"]),
+                )
+            )
+    return out

@@ -365,3 +365,58 @@ def test_device_random_batches():
     # different batch -> different draw
     b1 = ds[1]
     assert not np.array_equal(np.asarray(b1.indices), idx)
+
+
+def test_memory_map_loader_matches_npz(tmp_path):
+    """--memory-map: memmapped .npy day files yield identical batches to
+    the npz loader (the reference's memmap Criteo flow)."""
+    import numpy as np
+
+    from dlrm_yx_tpu.data.criteo import CriteoNpzLoader, convert_days_to_memmap
+
+    rng = np.random.RandomState(0)
+    prefix = str(tmp_path / "toy")
+    days, per = 3, [40, 50, 30]
+    for i, n in enumerate(per):
+        np.savez_compressed(
+            f"{prefix}_day_{i}_reordered.npz",
+            X_cat=rng.randint(0, 100, (n, 26)).astype(np.int32),
+            X_int=rng.randint(0, 50, (n, 13)).astype(np.int32),
+            y=rng.randint(0, 2, n).astype(np.float32),
+        )
+    np.savez_compressed(f"{prefix}_day_count.npz",
+                        total_per_file=np.array(per))
+    convert_days_to_memmap(prefix, days)
+    a = list(CriteoNpzLoader(prefix, days, 16, split="train"))
+    b = list(CriteoNpzLoader(prefix, days, 16, split="train", memory_map=True))
+    assert len(a) == len(b) > 0
+    for x, yb in zip(a, b):
+        np.testing.assert_array_equal(x.indices, yb.indices)
+        np.testing.assert_array_equal(x.dense, yb.dense)
+        np.testing.assert_array_equal(x.labels, yb.labels)
+
+
+def test_hdf5_batch_persistence(tmp_path):
+    """Per-batch HDF5 persistence of generated data (#18 sub-feature)."""
+    import numpy as np
+
+    from dlrm_yx_tpu.data.synthetic import (
+        RandomDataConfig,
+        load_batches_hdf5,
+        make_random_batches,
+        save_batches_hdf5,
+    )
+
+    cfg = RandomDataConfig(
+        emb_rows=(50, 80), m_den=4, mini_batch_size=8, num_batches=3,
+        num_indices_per_lookup=3, num_indices_per_lookup_fixed=False,
+        round_targets=True, seed=2,
+    )
+    batches = make_random_batches(cfg)
+    p = str(tmp_path / "synth.hdf5")
+    save_batches_hdf5(p, batches)
+    back = load_batches_hdf5(p)
+    assert len(back) == 3
+    for x, y in zip(batches, back):
+        np.testing.assert_array_equal(np.asarray(x.indices), y.indices)
+        np.testing.assert_array_equal(np.asarray(x.weights), y.weights)
