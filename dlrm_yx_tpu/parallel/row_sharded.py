@@ -45,6 +45,7 @@ from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
+from dlrm_yx_tpu.ops.embedding import SENTINEL_ROWS
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
@@ -72,11 +73,17 @@ class RowShardPlan:
     dim: int
     rows: tuple
     row_offsets: tuple
-    rows_local: int
+    rows_local: int   # ADDRESS-space rows per shard (owner = gid // rows_local)
 
     @property
     def total_rows(self) -> int:
         return self.n_model * self.rows_local
+
+    @property
+    def store_rows(self) -> int:
+        """Physical rows per shard store: the address space plus dead
+        sentinel rows (redirect target for the pallas row-RMW kernel)."""
+        return self.rows_local + SENTINEL_ROWS
 
     @property
     def num_tables(self) -> int:
@@ -102,17 +109,23 @@ def make_row_plan(config: DLRMConfig, n_model: int) -> RowShardPlan:
 
 
 def build_row_sharded_emb(plan: RowShardPlan, per_table) -> np.ndarray:
-    """[n_model, rows_local, dim] from per-canonical-table weights."""
+    """[n_model, store_rows, dim] from per-canonical-table weights (each
+    shard's slice followed by SENTINEL_ROWS dead rows)."""
     flat = np.zeros((plan.total_rows, plan.dim), np.float32)
     for t, w in enumerate(per_table):
         off = plan.row_offsets[t]
         flat[off : off + w.shape[0]] = np.asarray(w)
-    return flat.reshape(plan.n_model, plan.rows_local, plan.dim)
+    flat = flat.reshape(plan.n_model, plan.rows_local, plan.dim)
+    out = np.zeros((plan.n_model, plan.store_rows, plan.dim), np.float32)
+    out[:, : plan.rows_local] = flat
+    return out
 
 
 def extract_row_sharded_tables(plan: RowShardPlan, emb: np.ndarray):
     """Inverse of build_row_sharded_emb (checkpoint export / tests)."""
-    flat = np.asarray(emb).reshape(plan.total_rows, plan.dim)
+    flat = np.asarray(emb)[:, : plan.rows_local].reshape(
+        plan.total_rows, plan.dim
+    )
     return [
         flat[off : off + n].copy()
         for off, n in zip(plan.row_offsets, plan.rows)
@@ -196,7 +209,7 @@ def _partial_pooled(store, plan: RowShardPlan, gid, weights):
     local = gid - base
     owned = (local >= 0) & (local < plan.rows_local)
     w = jnp.where(owned, weights, 0.0)
-    safe = jnp.clip(local, 0, plan.rows_local - 1)
+    safe = jnp.clip(local, 0, plan.rows_local - 1)  # sentinel rows never read
     t, b, l = gid.shape
     rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, plan.dim)
     if l == 1:
@@ -289,7 +302,9 @@ def make_row_sharded_train_step(
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
         store2, acc2 = sparse_update(
-            opt, store, acc, flat_idx, flat_g, lr, plan.rows_local
+            opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
+            impl=config.sparse_update_impl,
+            interpret=jax.default_backend() != "tpu",
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":

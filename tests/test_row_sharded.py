@@ -63,7 +63,7 @@ def test_row_sharded_emb_roundtrip():
     rng = np.random.RandomState(0)
     tables = [rng.randn(n, 4).astype(np.float32) for n in cfg.emb_rows]
     emb = build_row_sharded_emb(plan, tables)
-    assert emb.shape == (4, plan.rows_local, 4)
+    assert emb.shape == (4, plan.store_rows, 4)  # incl. sentinel rows
     back = extract_row_sharded_tables(plan, emb)
     for a, b in zip(tables, back):
         np.testing.assert_array_equal(a, b)
@@ -170,3 +170,34 @@ def test_row_sharded_wide_table_slots():
         p2, s2, loss = step2(p2, s2, shard_row_batch(mesh, Batch(*map(jnp.asarray, b))), it)
         l2.append(float(loss))
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_row_sharded_pallas_impl_matches_xla():
+    """Row-sharded step with sparse_update_impl='pallas': shard stores above
+    the kernel gate must match the xla impl (kernel in interpret mode)."""
+    import dataclasses
+
+    cfg = DLRMConfig(
+        emb_rows=(1 << 17, (1 << 17) + 64, 300),
+        ln_bot=(4, 8, 128),
+        ln_top=(4 * 3 // 2 + 128, 8, 1),
+    )
+    cfg_p = dataclasses.replace(cfg, sparse_update_impl="pallas")
+    opt = OptConfig("sgd", 0.1)
+    batches = _make_batches(cfg, n_batches=2, b=8, l=1, seed=3)
+    mesh = make_mesh(1, 2)
+    results = []
+    for c in (cfg, cfg_p):
+        plan = make_row_plan(c, n_model=2)
+        p = init_row_sharded_params(c, plan, seed=11)
+        s = init_row_sharded_opt_state(opt, p)
+        p, s = shard_row_params(mesh, p, opt, s)
+        step = make_row_sharded_train_step(c, plan, opt, mesh)
+        ls = []
+        for it, b in enumerate(batches):
+            p, s, loss = step(p, s, shard_row_batch(mesh, Batch(*map(jnp.asarray, b))), it)
+            ls.append(float(loss))
+        results.append((ls, extract_row_sharded_tables(plan, np.asarray(p["emb"]))))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5, atol=1e-6)
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
