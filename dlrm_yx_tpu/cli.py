@@ -283,6 +283,25 @@ def make_data(args, cfg):
 
         days = 7 if args.data_set == "kaggle" else 24
         prefix = args.processed_data_file or args.raw_data_file
+        import os as _os
+
+        if not _os.path.exists(f"{prefix}_day_count.npz") and args.raw_data_file:
+            # preprocess on first touch, like the reference
+            # (CriteoDataset.__init__ -> getCriteoAdData, SURVEY.md §3.6)
+            from dlrm_yx_tpu.data.criteo import (
+                preprocess_criteo,
+                split_kaggle_train_txt,
+            )
+
+            rank0_print(f"preprocessing {args.raw_data_file} -> {prefix} ...")
+            day_files = split_kaggle_train_txt(args.raw_data_file, days)
+            preprocess_criteo(
+                day_files, prefix,
+                max_ind_range=args.max_ind_range,
+                sub_sample_rate=args.data_sub_sample_rate,
+                randomize=args.data_randomize,
+                seed=args.numpy_rand_seed,
+            )
         train = CriteoNpzLoader(
             prefix, days, args.mini_batch_size, split="train",
             max_ind_range=args.max_ind_range, memory_map=args.memory_map,

@@ -420,3 +420,59 @@ def test_hdf5_batch_persistence(tmp_path):
     for x, y in zip(batches, back):
         np.testing.assert_array_equal(np.asarray(x.indices), y.indices)
         np.testing.assert_array_equal(np.asarray(x.weights), y.weights)
+
+
+def test_cli_preprocess_on_miss(tmp_path):
+    """--data-generation=dataset with a raw TSV and no preprocessed files
+    triggers the full preprocessing pipeline (reference: preprocess on
+    first touch, SURVEY.md §3.6), honoring --data-randomize."""
+    import numpy as np
+
+    import jax
+
+    from dlrm_yx_tpu.cli import main
+
+    rng = np.random.RandomState(0)
+    raw = tmp_path / "train.txt"
+    lines = []
+    for _ in range(210):
+        label = rng.randint(0, 2)
+        ints = [str(rng.randint(0, 50)) for _ in range(13)]
+        cats = [format(rng.randint(0, 1 << 32), "x") for _ in range(26)]
+        lines.append("\t".join([str(label)] + ints + cats))
+    raw.write_text("\n".join(lines) + "\n")
+    prefix = str(tmp_path / "proc")
+    s = main([
+        "--arch-embedding-size=" + "-".join(["64"] * 26),
+        "--arch-mlp-bot=13-8-4", "--arch-mlp-top=355-8-1",
+        "--arch-sparse-feature-size=4", "--data-generation=dataset",
+        "--data-set=kaggle", f"--raw-data-file={raw}",
+        f"--processed-data-file={prefix}", "--max-ind-range=64",
+        "--data-randomize=day", "--mini-batch-size=8",
+        "--loss-function=bce", "--round-targets=True", "--print-freq=10",
+    ])
+    assert 0.0 <= s["accuracy"] <= 1.0
+    import os
+
+    assert os.path.exists(f"{prefix}_day_count.npz")
+    assert os.path.exists(f"{prefix}_day_0_reordered.npz")
+
+
+def test_visualize_tables_pca(tmp_path):
+    """Embedding visualization writes PNG + npz artifacts (SURVEY §2 #24)."""
+    import numpy as np
+
+    from dlrm_yx_tpu.tools.visualize import index_frequencies, visualize_tables
+
+    rng = np.random.RandomState(0)
+    tables = [rng.randn(80, 8).astype(np.float32) for _ in range(2)]
+    freqs = [index_frequencies(rng.randint(0, 80, 500), 80) for _ in range(2)]
+    out = visualize_tables(
+        tables, str(tmp_path), max_rows=50, methods=("pca",),
+        do_cluster=True, freqs=freqs,
+    )
+    import os
+
+    assert any(k.endswith("_pca") for k in out)
+    for path in out.values():
+        assert os.path.getsize(path) > 0
