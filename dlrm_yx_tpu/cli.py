@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh-model", type=int, default=0,
                    help="model-parallel (table-sharding) axis size; 0 = all devices")
+    p.add_argument("--shard-mode", type=str, default="table",
+                   choices=["table", "row", "col"],
+                   help="embedding sharding over 'model': whole tables "
+                        "(reference parity), row slices, or column slices")
     p.add_argument("--sharder", type=str, default="naive",
                    help="naive | naive_chunk | greedy | hardcode | input")
     p.add_argument("--allocation", type=str, default="",
@@ -374,25 +378,42 @@ def main(argv=None):
     )
     runner = None
     if args.mesh_data > 1 or args.mesh_model > 1:
-        from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+        if args.shard_mode == "row":
+            from dlrm_yx_tpu.parallel.row_sharded import RowShardedRunner
 
-        allocation = (
-            [int(x) for x in args.allocation.replace(",", "-").split("-")]
-            if args.allocation
-            else None
-        )
-        runner = HybridRunner(
-            cfg, opt,
-            data=args.mesh_data,
-            model=args.mesh_model or None,
-            sharder=args.sharder,
-            allocation=allocation,
-            lr_fn=lr_policy,
-            seed=args.numpy_rand_seed,
-        )
+            runner = RowShardedRunner(
+                cfg, opt, data=args.mesh_data,
+                model=args.mesh_model or None, lr_fn=lr_policy,
+                seed=args.numpy_rand_seed,
+            )
+        elif args.shard_mode == "col":
+            from dlrm_yx_tpu.parallel.col_sharded import ColShardedRunner
+
+            runner = ColShardedRunner(
+                cfg, opt, data=args.mesh_data,
+                model=args.mesh_model or None, lr_fn=lr_policy,
+                seed=args.numpy_rand_seed,
+            )
+        else:
+            from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+            allocation = (
+                [int(x) for x in args.allocation.replace(",", "-").split("-")]
+                if args.allocation
+                else None
+            )
+            runner = HybridRunner(
+                cfg, opt,
+                data=args.mesh_data,
+                model=args.mesh_model or None,
+                sharder=args.sharder,
+                allocation=allocation,
+                lr_fn=lr_policy,
+                seed=args.numpy_rand_seed,
+            )
         rank0_print(
-            f"hybrid-parallel mesh {dict(runner.mesh.shape)}, "
-            f"sharder={args.sharder}"
+            f"{args.shard_mode}-sharded mesh {dict(runner.mesh.shape)}"
+            + (f", sharder={args.sharder}" if args.shard_mode == "table" else "")
         )
     trainer = Trainer(cfg, opt, tcfg, lr_policy, runner=runner)
     train, test = make_data(args, cfg)

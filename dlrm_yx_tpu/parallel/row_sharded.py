@@ -395,3 +395,32 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+class RowShardedRunner:
+    """Trainer runner for the row-sharded path (--shard-mode=row)."""
+
+    def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123):
+        from dlrm_yx_tpu.parallel.mesh import make_mesh
+
+        self.config = config
+        self.opt = opt
+        self.mesh = make_mesh(data, model)
+        self.plan = make_row_plan(config, self.mesh.shape["model"])
+        params = init_row_sharded_params(config, self.plan, seed)
+        state = init_row_sharded_opt_state(opt, params)
+        self.params, self.opt_state = shard_row_params(
+            self.mesh, params, opt, state
+        )
+        self.train_step = make_row_sharded_train_step(
+            config, self.plan, opt, self.mesh, lr_fn
+        )
+        self.eval_step = make_row_sharded_eval_step(config, self.plan, self.mesh)
+
+    def prepare_batch(self, b):
+        import jax.numpy as jnp
+
+        return shard_row_batch(self.mesh, Batch(*map(jnp.asarray, b)))
+
+    def reshard(self, params, opt_state):
+        return shard_row_params(self.mesh, params, self.opt, opt_state)

@@ -258,3 +258,20 @@ def test_cli_orbax_backend(tmp_path):
         "--ckpt-backend=orbax",
     ])
     assert 0.0 <= m["accuracy"] <= 1.0
+
+
+@pytest.mark.parametrize("mode", ["row", "col"])
+def test_cli_shard_modes(mode):
+    """--shard-mode=row|col drives the row/col-sharded runners from the
+    CLI; all three modes must produce identical losses for the same seeds
+    (cross-checked in __graft_entry__.dryrun_multichip)."""
+    from dlrm_yx_tpu.cli import main
+
+    s = main([
+        "--arch-embedding-size=300-40-500-120", "--arch-mlp-bot=4-8-8",
+        "--arch-mlp-top=18-8-1", "--arch-sparse-feature-size=8",
+        "--mini-batch-size=16", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--optimizer=rwsadagrad", "--test-freq=4",
+        "--mesh-data=2", "--mesh-model=2", f"--shard-mode={mode}",
+    ])
+    assert 0.0 <= s["accuracy"] <= 1.0
