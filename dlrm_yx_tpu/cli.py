@@ -373,6 +373,7 @@ def main(argv=None):
         save_path=args.save_model,
         load_path=args.load_model,
         ckpt_backend=args.ckpt_backend,
+        grad_accum_iter=args.mlperf_grad_accum_iter,
         tb_logdir=args.tensor_board_filename,
         seed=args.numpy_rand_seed,
     )

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.models.dlrm import (
     forward_from_pooled,
     group_indices,
@@ -234,3 +235,121 @@ def make_eval_step(config: DLRMConfig, jit: bool = True):
         return preds, loss
 
     return jax.jit(eval_step) if jit else eval_step
+
+
+def make_accum_train_step(
+    config: DLRMConfig,
+    opt: OptConfig,
+    n_accum: int,
+    lr_fn: Optional[Callable] = None,
+    jit: bool = True,
+):
+    """Gradient accumulation over ``n_accum`` micro-batches with ONE
+    optimizer step (--mlperf-grad-accum-iter: the reference calls
+    optimizer.step()/zero_grad() every N-th mini-batch so autograd sums
+    grads across them, dlrm_s_pytorch.py:1925-1932).
+
+    step(params, opt_state, stacked_batch, iteration): every Batch leaf has
+    a leading [n_accum] axis. Dense grads are SUMMED over micro-batches
+    (torch semantics — each backward adds dL_i/dw for the per-batch mean
+    loss L_i); sparse row grads from all micro-batches are applied in one
+    coalesced update, so Adagrad-family momenta see the accumulated
+    gradient exactly once. Returns the mean micro-batch loss.
+    """
+    groups = model_groups(config)
+    if config.qr_table_ids:
+        raise NotImplementedError("grad accumulation with QR tables")
+
+    def step(params, opt_state, batches, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        if "md_proj" in params:
+            dense_params["md_proj"] = params["md_proj"]
+
+        def micro(carry, b):
+            g_dense_sum, loss_sum = carry
+            batch = Batch(*b)
+            pooled = lookup_all_groups(
+                params, groups, batch.indices, batch.weights,
+                config.lookup_impl,
+            )
+
+            def dense_loss(dp, pooled_in):
+                p2 = dict(params)
+                p2.update(dp)
+                logits = forward_from_pooled(
+                    p2, config, groups, batch.dense, pooled_in
+                )
+                return loss_fn(
+                    logits, batch.labels, config.loss, config.loss_threshold,
+                    config.wbce_weights,
+                )
+
+            loss, (g_dense, g_pooled) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1)
+            )(dense_params, pooled)
+            g_dense_sum = jax.tree.map(jnp.add, g_dense_sum, g_dense)
+            return (g_dense_sum, loss_sum + loss), g_pooled
+
+        zero_gd = jax.tree.map(jnp.zeros_like, dense_params)
+        (g_dense, loss_sum), g_pooled_stack = jax.lax.scan(
+            micro, (zero_gd, jnp.float32(0.0)), tuple(batches)
+        )
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        dp_new, ds_new = {}, {}
+        for k in ("bot", "top"):
+            layers, accs = [], []
+            for i, (w, b) in enumerate(params[k]):
+                gw, gb = g_dense[k][i]
+                aw, ab = (
+                    opt_state["dense"][k][i] if opt.name != "sgd" else (None, None)
+                )
+                w2, aw2 = dense_update(opt, w, gw, aw, lr)
+                b2, ab2 = dense_update(opt, b, gb, ab, lr)
+                layers.append((w2, b2))
+                accs.append((aw2, ab2))
+            new_params[k] = layers
+            if opt.name != "sgd":
+                new_state["dense"] = dict(new_state["dense"])
+                new_state["dense"][k] = accs
+        if "md_proj" in params:
+            new_proj, new_acc = [], []
+            for i, w in enumerate(params["md_proj"]):
+                pa = opt_state["md_proj"][i] if opt.name != "sgd" else None
+                w2, pa2 = dense_update(opt, w, g_dense["md_proj"][i], pa, lr)
+                new_proj.append(w2)
+                new_acc.append(pa2)
+            new_params["md_proj"] = new_proj
+            if opt.name != "sgd":
+                new_state["md_proj"] = new_acc
+
+        # one coalesced sparse update over all micro-batches' contributions
+        new_emb, new_emb_acc = [], []
+        for gi, g in enumerate(groups):
+            fidx_all, fg_all = [], []
+            for m in range(n_accum):
+                idx_g = group_indices(g, batches.indices[m])
+                w_g = group_indices(g, batches.weights[m])
+                fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled_stack[gi][m])
+                fidx_all.append(fidx)
+                fg_all.append(fg)
+            acc = opt_state["emb"][gi] if opt.name != "sgd" else None
+            store2, acc2 = sparse_update(
+                opt, params["emb"][gi], acc,
+                jnp.concatenate(fidx_all), jnp.concatenate(fg_all),
+                lr, g.total_rows,
+                impl=config.sparse_update_impl, interpret=_interpret(),
+                stochastic_round=config.stochastic_rounding, sr_seed=iteration,
+            )
+            new_emb.append(store2)
+            new_emb_acc.append(acc2)
+        new_params["emb"] = new_emb
+        if opt.name != "sgd":
+            new_state["emb"] = new_emb_acc
+        return new_params, new_state, loss_sum / n_accum
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return step

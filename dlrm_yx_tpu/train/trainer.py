@@ -32,7 +32,11 @@ from dlrm_yx_tpu.train.checkpoint import (
     skip_position,
 )
 from dlrm_yx_tpu.train.metrics import StreamingAUC, binary_metrics
-from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
+from dlrm_yx_tpu.train.train_step import (
+    make_accum_train_step,
+    make_eval_step,
+    make_train_step,
+)
 from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
 
 
@@ -50,6 +54,25 @@ class TrainerConfig:
     seed: int = 123
     ckpt_backend: str = "npz"        # npz (portable, host-gathered) |
                                      # orbax (sharded, multi-host-correct)
+    grad_accum_iter: int = 1         # micro-batches per optimizer step
+                                     # (--mlperf-grad-accum-iter)
+
+
+def _group_microbatches(it, n):
+    """Stack n consecutive Batches along a new leading axis (feeds
+    make_accum_train_step); a trailing incomplete group is dropped, like
+    the reference only stepping on every n-th mini-batch."""
+    while True:
+        group = []
+        try:
+            for _ in range(n):
+                group.append(next(it))
+        except StopIteration:
+            return
+        yield Batch(
+            *[np.stack([np.asarray(getattr(b, f)) for b in group])
+              for f in Batch._fields]
+        )
 
 
 class Trainer:
@@ -71,8 +94,19 @@ class Trainer:
         self.groups = model_groups(config)
         lr_fn = lr_policy if lr_policy is not None else None
         self.runner = runner
+        self.accum = max(1, tcfg.grad_accum_iter)
+        if runner is not None and self.accum > 1:
+            raise NotImplementedError(
+                "grad accumulation is single-device only (mesh paths scale "
+                "batch via the 'data' axis instead)"
+            )
         if runner is None:
-            self.train_step = make_train_step(config, opt, lr_fn)
+            if self.accum > 1:
+                self.train_step = make_accum_train_step(
+                    config, opt, self.accum, lr_fn
+                )
+            else:
+                self.train_step = make_train_step(config, opt, lr_fn)
             self.eval_step = make_eval_step(config)
             self.params = init_dlrm(config, seed=tcfg.seed)
             self.opt_state = init_opt_state(opt, self.params, self.groups)
@@ -180,6 +214,8 @@ class Trainer:
             it_source = iter(
                 train_batches() if callable(train_batches) else train_batches
             )
+            if self.accum > 1:
+                it_source = _group_microbatches(it_source, self.accum)
             # one-batch host->device prefetch: the next batch's transfer
             # overlaps the current step (the reference relies on DataLoader
             # worker prefetch + non-blocking H2D for the same purpose;

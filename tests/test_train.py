@@ -209,3 +209,75 @@ def test_golden_regression():
     with open(golden_path) as f:
         want = json.load(f)["losses"]
     np.testing.assert_allclose(losses, want, rtol=1e-5)
+
+
+def test_grad_accumulation_matches_manual_sum():
+    """make_accum_train_step == summed per-micro-batch grads, one step
+    (--mlperf-grad-accum-iter, dlrm_s_pytorch.py:1925-1932)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.models.dlrm import (
+        forward_from_pooled,
+        lookup_all_groups,
+        model_groups,
+    )
+    from dlrm_yx_tpu.ops.losses import loss_fn as _loss
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    cfg = DLRMConfig(
+        emb_rows=(300, 40, 500), ln_bot=(4, 8, 2), ln_top=(4 * 3 // 2 + 2, 8, 1)
+    )
+    opt = OptConfig("sgd", 0.1)
+    n, bsz = 4, 8
+    rr = np.random.RandomState(0)
+
+    def mk(seed):
+        r2 = np.random.RandomState(seed)
+        return Batch(
+            r2.rand(bsz, 4).astype(np.float32),
+            np.stack([r2.randint(0, x, (bsz, 2)) for x in cfg.emb_rows]).astype(np.int32),
+            np.ones((3, bsz, 2), np.float32),
+            (r2.rand(bsz, 1) > 0.5).astype(np.float32),
+        )
+
+    micro = [mk(i) for i in range(n)]
+    stacked = Batch(
+        *[jnp.asarray(np.stack([np.asarray(getattr(b, f)) for b in micro]))
+          for f in Batch._fields]
+    )
+    p = init_dlrm(cfg, seed=5)
+    groups = model_groups(cfg)
+    s = init_opt_state(opt, p, groups)
+
+    def one_loss(dp, batch):
+        pooled = lookup_all_groups({**p, **dp}, groups, batch.indices, batch.weights, "xla")
+        logits = forward_from_pooled({**p, **dp}, cfg, groups, batch.dense, pooled)
+        return _loss(logits, batch.labels, cfg.loss, cfg.loss_threshold, cfg.wbce_weights)
+
+    dp = {"bot": p["bot"], "top": p["top"]}
+    gsum = jax.tree.map(jnp.zeros_like, dp)
+    for b in micro:
+        g = jax.grad(one_loss)(dp, Batch(*map(jnp.asarray, b)))
+        gsum = jax.tree.map(jnp.add, gsum, g)
+    w_expect = np.asarray(p["bot"][0][0] - 0.1 * gsum["bot"][0][0])
+
+    step = make_accum_train_step(cfg, opt, n)
+    p2, s2, loss = step(p, s, stacked, 0)
+    np.testing.assert_allclose(
+        np.asarray(p2["bot"][0][0]), w_expect, rtol=1e-6, atol=1e-7
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_cli_grad_accum():
+    from dlrm_yx_tpu.cli import main
+
+    s = main([
+        "--arch-embedding-size=300-40", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=5-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=8", "--num-batches=8", "--loss-function=bce",
+        "--round-targets=True", "--test-freq=2",
+        "--mlperf-grad-accum-iter=4", "--print-freq=1",
+    ])
+    assert 0.0 <= s["accuracy"] <= 1.0
