@@ -281,3 +281,50 @@ def test_stochastic_rounding_flag_plumbed():
                         jnp.asarray(act), interpret=True,
                         stochastic_round=True, seed=3)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sparse_rows_add_fuzz():
+    """Property fuzz: random shapes/dup-rates/activity masks/dtypes must
+    match the sequential reference (bf16 within rounding)."""
+    rng = np.random.RandomState(99)
+    for trial in range(8):
+        # real group stores are ROW_ALIGN(8)-aligned + sentinel block
+        R = int(rng.randint(5, 375)) * 8 + SENTINEL_ROWS
+        K = int(rng.randint(1, 700))
+        kk = int(rng.choice([1, 2]))
+        d = 128 * kk
+        dupmax = int(rng.randint(1, R - SENTINEL_ROWS))
+        dtype = jnp.float32 if trial % 2 == 0 else jnp.bfloat16
+        store = rng.randn(R, d).astype(np.float32)
+        idx = rng.randint(0, dupmax, K).astype(np.int32)
+        upd = rng.randn(K, d).astype(np.float32)
+        act = (rng.rand(K) > 0.3).astype(np.int32)
+        got = np.asarray(
+            sparse_rows_add(
+                jnp.asarray(store, dtype), jnp.asarray(idx),
+                jnp.asarray(upd), jnp.asarray(act), interpret=True,
+            ).astype(jnp.float32)
+        )
+        if dtype == jnp.float32:
+            want = store.copy()
+            for k in range(K):
+                if act[k]:
+                    want[idx[k]] += upd[k]
+            np.testing.assert_allclose(
+                got[:-SENTINEL_ROWS], want[:-SENTINEL_ROWS],
+                rtol=1e-4, atol=1e-4,
+                err_msg=f"trial {trial}: R={R} K={K} d={d} dupmax={dupmax}",
+            )
+        else:
+            base = np.asarray(jnp.asarray(store, dtype).astype(jnp.float32))
+            want = base.copy()
+            for k in range(K):
+                if act[k]:
+                    want[idx[k]] = np.asarray(
+                        (jnp.asarray(want[idx[k]]) + upd[k]).astype(dtype).astype(jnp.float32)
+                    )
+            np.testing.assert_allclose(
+                got[:-SENTINEL_ROWS], want[:-SENTINEL_ROWS],
+                rtol=0.05, atol=0.08,
+                err_msg=f"trial {trial}: R={R} K={K} d={d} dupmax={dupmax}",
+            )
