@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # parallelism (TPU mesh replaces GPU flags)
     p.add_argument("--use-tpu", action="store_true", default=False)
+    p.add_argument("--force-cpu-devices", type=int, default=0,
+                   help="simulate N virtual CPU devices (mesh dry-runs on "
+                        "hosts without a pod; must be set before any jax "
+                        "use, so it only works via the CLI entry)")
     p.add_argument("--use-gpu", action="store_true", default=False,
                    help="accepted for compat; implies --use-tpu semantics")
     p.add_argument("--mesh-data", type=int, default=1,
@@ -352,6 +356,13 @@ def debug_print_model(cfg, params, precision=5):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.force_cpu_devices:
+        # env vars are overridden by this environment's TPU plugin
+        # registration; jax.config works when applied before first use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.force_cpu_devices)
     np.random.seed(args.numpy_rand_seed)
     cfg = config_from_args(args)
     opt = OptConfig(name=args.optimizer, lr=args.learning_rate)
