@@ -497,31 +497,64 @@ def main(argv=None):
 
         _os.makedirs(args.save_model or ".", exist_ok=True)
         export_inference(
-            trainer.params if runner is None else _gather_params(cfg, runner),
+            trainer.params if runner is None else _gather_params(cfg, trainer),
             cfg, _B(*map(np.asarray, b0)), out,
         )
         rank0_print(f"saved StableHLO model to {out}")
     return summary
 
 
-def _gather_params(cfg, runner):
-    """Canonical (unsharded) params from a hybrid runner for export."""
-    from dlrm_yx_tpu.models.dlrm import init_dlrm
-    from dlrm_yx_tpu.ops.embedding import build_table_groups
-    from dlrm_yx_tpu.parallel.plan import extract_tables
+def _gather_params(cfg, trainer):
+    """Canonical (unsharded, single-device-layout) params from a mesh
+    runner, for export / quantized inference.
 
-    tables = extract_tables(runner.plan, cfg, np.asarray(runner.params["emb"]))
-    params = init_dlrm(cfg, seed=0)
-    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    Uses ``trainer.params`` — the CURRENT pytree (the runner's initial
+    buffers were donated to the first train step) — and dispatches table
+    extraction per runner type. Stores are re-assembled with
+    ``model_groups(cfg)`` so the group layout (emb_split_threshold,
+    QR-excluded tables) matches the single-device forward exactly."""
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.parallel.col_sharded import (
+        ColShardPlan,
+        extract_col_sharded_tables,
+    )
+    from dlrm_yx_tpu.parallel.row_sharded import (
+        RowShardPlan,
+        extract_row_sharded_tables,
+    )
+
+    if cfg.qr_table_ids or cfg.md_table_ids or cfg.weighted_pooling:
+        raise NotImplementedError(
+            "canonical export from a mesh runner supports plain tables only "
+            "(QR/MD/weighted-pooling variants: train single-device or "
+            "export from a checkpoint)"
+        )
+    import jax
+
+    runner = trainer.runner
+    plan = runner.plan
+    emb = np.asarray(trainer.params["emb"])
+    if isinstance(plan, RowShardPlan):
+        tables = extract_row_sharded_tables(plan, emb)
+    elif isinstance(plan, ColShardPlan):
+        tables = extract_col_sharded_tables(plan, emb)
+    else:
+        from dlrm_yx_tpu.parallel.plan import extract_tables
+
+        tables = extract_tables(plan, cfg, emb)
     import jax.numpy as _jnp
 
-    for gi, g in enumerate(groups):
+    params = {
+        "bot": jax.tree.map(np.asarray, trainer.params["bot"]),
+        "top": jax.tree.map(np.asarray, trainer.params["top"]),
+        "emb": [],
+        "vw": None,
+    }
+    for g in model_groups(cfg):
         store = np.zeros((g.total_rows, g.dim), np.float32)
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
-            store[off : off + n] = tables[tid]
-        params["emb"][gi] = _jnp.asarray(store)
-    params["bot"] = runner.params["bot"]
-    params["top"] = runner.params["top"]
+            store[off : off + n] = tables[tid][:n]
+        params["emb"].append(_jnp.asarray(store))
     return params
 
 
@@ -536,7 +569,12 @@ def _quantized_inference(args, cfg, trainer, test_batches):
     )
 
     groups = model_groups(cfg)
-    params = trainer.params
+    # mesh runners hold SHARDED stores ([n_model, r_pad, dim] etc.) — gather
+    # the canonical single-device layout before quantizing; treating the
+    # sharded array as a per-group store list would index garbage
+    params = (
+        trainer.params if trainer.runner is None else _gather_params(cfg, trainer)
+    )
     qstores = quantize_model_embeddings(
         params, groups,
         args.quantize_emb_with_bit if args.quantize_emb_with_bit in (4, 8) else 8,

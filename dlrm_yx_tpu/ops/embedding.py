@@ -54,6 +54,8 @@ class TableGroup:
     row_offsets: start row of each table inside the flat array.
     total_rows: padded total rows of the flat array (also used as the
       out-of-range sentinel index for dropped scatter updates).
+    size_class: 0 = small-table group (always takes the exact XLA
+      dense-accumulate update), 1 = big/unsplit (row-RMW-kernel eligible).
     """
 
     table_ids: Tuple[int, ...]
@@ -61,6 +63,7 @@ class TableGroup:
     dim: int
     row_offsets: Tuple[int, ...]
     total_rows: int
+    size_class: int = 1
 
     @property
     def num_tables(self) -> int:
@@ -94,7 +97,7 @@ def build_table_groups(
         by_key.setdefault((int(d), size_class), []).append((int(t), int(n)))
     groups = []
     for key in sorted(by_key):
-        d, _ = key
+        d, size_class = key
         entries = by_key[key]
         offsets, cur = [], 0
         for _, n in entries:
@@ -107,6 +110,9 @@ def build_table_groups(
                 dim=d,
                 row_offsets=tuple(offsets),
                 total_rows=cur + SENTINEL_ROWS,
+                # without a split threshold there are no "small" groups —
+                # every group stays kernel-eligible (byte gate still applies)
+                size_class=1 if small_threshold is None else size_class,
             )
         )
     return groups

@@ -117,6 +117,10 @@ def update_dense_towers(opt: OptConfig, params, opt_state, g_dense, lr):
 PALLAS_MIN_STORE_BYTES = 64 << 20
 
 
+def _store_bytes(store: jax.Array) -> int:
+    return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
+
+
 def sparse_update(
     opt: OptConfig,
     store: jax.Array,
@@ -130,6 +134,7 @@ def sparse_update(
     row_dim=None,
     stochastic_round: bool = False,
     sr_seed=0,
+    size_class: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
@@ -148,13 +153,21 @@ def sparse_update(
     coalesce-then-square; identical whenever a row appears once per step —
     the overwhelmingly common case for the big hashed tables this path is
     gated to (PALLAS_MIN_STORE_BYTES).
+
+    size_class: the group's size class from ops/embedding.build_table_groups
+    (0 = small-table group). Small groups ALWAYS take the exact XLA
+    dense-accumulate path regardless of aggregate store bytes — they hold
+    the dup-heavy tables whose adagrad-family momentum must coalesce
+    exactly; the byte threshold alone would misroute a >64 MB aggregation
+    of many small tables through the kernel.
     """
     from dlrm_yx_tpu.ops import pallas_sparse_update as psu
 
     use_kernel = (
         impl == "pallas"
+        and size_class != 0
         and psu.supports_dim(store.shape[1])
-        and store.shape[0] * store.shape[1] * 4 >= PALLAS_MIN_STORE_BYTES
+        and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
     )
     if use_kernel:
         active = (flat_idx < sentinel).astype(jnp.int32)
@@ -179,6 +192,7 @@ def sparse_update(
                 psu.sparse_rows_add(
                     store, flat_idx, -lr * flat_g / denom, active,
                     interpret=interpret,
+                    stochastic_round=stochastic_round, seed=sr_seed,
                 ),
                 acc,
             )
@@ -211,7 +225,7 @@ def sparse_update(
             acc,
         )
 
-    if store.shape[0] * store.shape[1] * 4 < PALLAS_MIN_STORE_BYTES:
+    if size_class == 0 or _store_bytes(store) < PALLAS_MIN_STORE_BYTES:
         # small store: dense-accumulate instead of sort-based coalescing.
         # The scatter into a zero buffer IS the coalesced gradient (XLA's
         # full-store rewrite is cheap at this size and exact on duplicates);

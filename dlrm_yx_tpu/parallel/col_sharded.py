@@ -65,6 +65,18 @@ class ColShardPlan:
 
 
 def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
+    from dlrm_yx_tpu.parallel.row_sharded import _reject_unsupported_variants
+
+    _reject_unsupported_variants(config, "col")
+    if config.sparse_update_impl == "pallas":
+        import warnings
+
+        warnings.warn(
+            "col-sharded mode applies sparse updates with the XLA path; "
+            "--sparse-update-impl=pallas is ignored here (column shards are "
+            "d_local-wide, below the kernel's lane width)",
+            stacklevel=2,
+        )
     dims = set(config.emb_dims)
     if len(dims) != 1:
         raise ValueError("col-sharded plan requires homogeneous table dims")

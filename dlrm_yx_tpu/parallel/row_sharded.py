@@ -60,6 +60,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _reject_unsupported_variants(config: DLRMConfig, mode: str) -> None:
+    """The row/col-sharded paths train plain uncompressed tables; silently
+    training a DIFFERENT model than requested (QR/MD/weighted pooling) would
+    raise no shape error because rows are homogeneous — reject instead
+    (use --shard-mode=table, which supports these variants)."""
+    unsupported = []
+    if config.qr_table_ids:
+        unsupported.append("--qr-flag")
+    if config.md_table_ids:
+        unsupported.append("--md-flag")
+    if config.weighted_pooling is not None:
+        unsupported.append("--weighted-pooling")
+    if unsupported:
+        raise NotImplementedError(
+            f"{mode}-sharded mode does not support {', '.join(unsupported)}; "
+            "use --shard-mode=table (hybrid) for these model variants"
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class RowShardPlan:
     """Static layout: all tables (one shared dim) concatenated into a flat
@@ -91,6 +110,7 @@ class RowShardPlan:
 
 
 def make_row_plan(config: DLRMConfig, n_model: int) -> RowShardPlan:
+    _reject_unsupported_variants(config, "row")
     dims = set(config.emb_dims)
     if len(dims) != 1:
         raise ValueError("row-sharded plan requires homogeneous table dims")

@@ -148,8 +148,54 @@ def test_group_split_threshold():
     big = [g for g in groups if 1 in g.table_ids][0]
     assert set(small.table_ids) == {0, 2}
     assert set(big.table_ids) == {1, 3}
+    assert small.size_class == 0 and big.size_class == 1
+    # without a threshold, no group is "small" (kernel-eligible by bytes)
+    assert all(
+        g.size_class == 1
+        for g in build_table_groups([100, 900000], [8, 8])
+    )
     # sentinel rows present
     assert small.total_rows >= sum(small.rows) + SENTINEL_ROWS
+
+
+def test_size_class_gates_kernel_routing(monkeypatch):
+    """A small-table group (size_class=0) must take the exact coalescing
+    path even when its aggregate store bytes pass the kernel threshold —
+    detectable because the kernel's adagrad momentum is per-occurrence on
+    duplicate rows while the exact path coalesces first."""
+    import dlrm_yx_tpu.optim.optimizer as om
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    r = np.random.RandomState(7)
+    d = 128
+    R = 256 + SENTINEL_ROWS
+    K = 64
+    opt = OptConfig("adagrad", 0.05)
+    store = r.randn(R, d).astype(np.float32)
+    acc = np.abs(r.randn(R, d)).astype(np.float32)
+    idx = r.randint(0, 8, K).astype(np.int32)  # heavy duplicates
+    g = r.randn(K, d).astype(np.float32)
+    exact, acc_exact = sparse_update(
+        opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+        jnp.asarray(g), 0.05, R, impl="xla",
+    )
+    got, acc_got = om.sparse_update(
+        opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+        jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+        size_class=0,
+    )
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_exact), np.asarray(acc_got),
+                               rtol=1e-6, atol=1e-6)
+    # sanity: with size_class=1 the kernel path WOULD be taken and its
+    # per-occurrence momentum differs on these duplicate-heavy updates
+    alt, _ = om.sparse_update(
+        opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+        jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+        size_class=1,
+    )
+    assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6
 
 
 def test_train_step_pallas_sparse_impl_matches_xla():

@@ -260,6 +260,49 @@ def test_cli_orbax_backend(tmp_path):
     assert 0.0 <= m["accuracy"] <= 1.0
 
 
+def test_cli_save_onnx_and_quantized_inference_mesh(tmp_path):
+    """--save-onnx and quantized --inference-only work under mesh runners:
+    params are gathered from the runner's CURRENT (non-donated) pytree and
+    re-assembled in the single-device group layout (ADVICE round-1 items)."""
+    from dlrm_yx_tpu.cli import main
+
+    arch = [
+        "--arch-embedding-size=300-40-500-120", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=17-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=16", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--test-freq=4",
+    ]
+    for mode, mesh in [("table", ["--mesh-data=2", "--mesh-model=2"]),
+                       ("row", ["--mesh-data=2", "--mesh-model=2"])]:
+        sm = str(tmp_path / f"ck_{mode}")
+        main(arch + mesh + [f"--shard-mode={mode}", f"--save-model={sm}",
+                            "--save-onnx"])
+        import os
+
+        assert os.path.getsize(os.path.join(sm, "dlrm_tpu.stablehlo")) > 0
+    # quantized inference under a mesh runner gathers canonical params
+    m = main(arch + ["--mesh-data=2", "--mesh-model=2", "--inference-only",
+                     "--quantize-emb-with-bit=8"])
+    assert m.get("quantized") is True
+    assert 0.0 <= m["accuracy"] <= 1.0
+
+
+@pytest.mark.parametrize("mode", ["row", "col"])
+def test_shard_mode_rejects_unsupported_variants(mode):
+    """row/col-sharded modes must not silently train a different model than
+    requested (QR/MD/weighted pooling are hybrid/single-device features)."""
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.parallel.col_sharded import make_col_plan
+    from dlrm_yx_tpu.parallel.row_sharded import make_row_plan
+
+    make = make_row_plan if mode == "row" else make_col_plan
+    base = dict(emb_rows=(300, 400), ln_bot=(4, 8, 8), ln_top=(11, 8, 1))
+    with pytest.raises(NotImplementedError, match="qr-flag"):
+        make(DLRMConfig(**base, qr_flag=True, qr_threshold=100), 2)
+    with pytest.raises(NotImplementedError, match="weighted-pooling"):
+        make(DLRMConfig(**base, weighted_pooling="fixed"), 2)
+
+
 @pytest.mark.parametrize("mode", ["row", "col"])
 def test_cli_shard_modes(mode):
     """--shard-mode=row|col drives the row/col-sharded runners from the
