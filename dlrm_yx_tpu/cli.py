@@ -344,11 +344,15 @@ def debug_print_model(cfg, params, precision=5):
         f"# of embeddings (= # of sparse features) {cfg.num_tables}, with "
         f"dimensions {cfg.base_dim}x: {np.array(cfg.emb_rows)}"
     )
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.ops.embedding import unpack_store
+
+    groups = model_groups(cfg)
     print("initial parameters (weights and bias):")
     for k in ("emb", "bot", "top"):
-        for item in params[k]:
+        for i, item in enumerate(params[k]):
             if k == "emb":
-                print(np.asarray(item))
+                print(np.asarray(unpack_store(item, groups[i])))
             else:
                 print(np.asarray(item[0]).T)
                 print(np.asarray(item[1]))
@@ -550,11 +554,13 @@ def _gather_params(cfg, trainer):
         "emb": [],
         "vw": None,
     }
+    from dlrm_yx_tpu.ops.embedding import pack_store
+
     for g in model_groups(cfg):
         store = np.zeros((g.total_rows, g.dim), np.float32)
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             store[off : off + n] = tables[tid][:n]
-        params["emb"].append(_jnp.asarray(store))
+        params["emb"].append(_jnp.asarray(pack_store(store, g)))
     return params
 
 

@@ -31,6 +31,8 @@ from dlrm_yx_tpu.ops.embedding import (
     build_table_groups,
     init_emb_group,
     lookup_group,
+    pack_store,
+    unpack_store,
 )
 from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import predictions_from_logits
@@ -100,7 +102,7 @@ def init_dlrm(config: DLRMConfig, seed: int = 123) -> Dict:
         store = np.zeros((g.total_rows, g.dim), dtype=np.float32)
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             store[off : off + n] = per_table[tid]
-        emb.append(jnp.asarray(store).astype(edt))
+        emb.append(jnp.asarray(pack_store(store, g)).astype(edt))
     vw = None
     if config.weighted_pooling is not None:
         # v_W = ones(n) per table (dlrm_s_pytorch.py:313-316), stored flat per group
@@ -147,14 +149,15 @@ def init_dlrm_on_device(config: DLRMConfig, seed: int = 123) -> Dict:
             bound[off : off + n] = np.sqrt(1.0 / n)
 
         @jax.jit
-        def draw_g(key, bound, dim=g.dim):
-            u = jax.random.uniform(
-                key, bound.shape + (dim,), jnp.float32, -1.0, 1.0
-            )
-            # cast inside the jit: XLA fuses draw*bound*cast elementwise, so
-            # the f32 intermediate never materializes (a 54M-row bf16 store
-            # would otherwise OOM on its own f32 ghost)
-            return (u * bound[:, None]).astype(jnp.dtype(config.emb_dtype))
+        def draw_g(key, bound, dim=g.dim, shape=g.store_shape):
+            u = jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
+            b = bound.reshape(shape[0], shape[1] // dim)
+            # per-LOGICAL-row bound, broadcast over the dim lanes of each
+            # packed block; cast inside the jit: XLA fuses draw*bound*cast
+            # elementwise, so the f32 intermediate never materializes (a
+            # 54M-row bf16 store would otherwise OOM on its own f32 ghost)
+            scale = jnp.repeat(b, dim, axis=1)
+            return (u * scale).astype(jnp.dtype(config.emb_dtype))
 
         emb.append(draw_g(jax.random.PRNGKey(seed + gi), jnp.asarray(bound)))
     vw = None

@@ -10,10 +10,18 @@ Capability parity with the reference's three embedding paths:
 
 TPU-native design:
   * Tables are grouped by embedding dim; each group is ONE flat fp32/bf16
-    array ``[total_rows_padded, dim]`` (static numpy ``row_offsets``). Flat
-    storage turns the multi-table lookup into a single gather — the same
-    insight as the reference's CUDA kernel, and the natural layout for a
-    row-sharded array on a TPU mesh.
+    array (static numpy ``row_offsets``). Flat storage turns the multi-table
+    lookup into a single gather — the same insight as the reference's CUDA
+    kernel, and the natural layout for a row-sharded array on a TPU mesh.
+  * Sub-128 dims that divide 128 (the reference's flagship 64-dim configs,
+    Kaggle's 16-dim, MD-reduced dims) are stored PACKED: pack = 128/dim
+    logical rows per 128-lane physical row, array shape
+    ``[total_rows/pack, 128]``. XLA lays a narrow [R, dim] array out with
+    lane-padded (8, 128) tiles — pack× wasted HBM and a relayout copy at
+    every kernel call; the packed layout is compact and is what the Pallas
+    kernels (ops/pallas_sparse_update.py, ops/pallas_embedding.py) DMA
+    directly. Dims ≥ 128 (or not dividing 128) keep the natural
+    ``[total_rows, dim]`` shape (pack == 1).
   * Sparse inputs are fixed shape: ``indices [T, B, L]`` int32 and
     ``weights [T, B, L]`` float (0 where padded). The reference's CSR
     (indices, offsets) layout is converted at the data layer — XLA wants
@@ -33,10 +41,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+LANES = 128
 ROW_ALIGN = 8  # pad each table's row block so tables start sublane-aligned
-SENTINEL_ROWS = 8  # dead rows at the end of every group store: redirect
-                   # target for the pallas sparse-update kernel's masked
-                   # items (ops/pallas_sparse_update.py)
+               # (in PHYSICAL rows; packed groups align to 8*pack logical)
+SENTINEL_ROWS = 8  # dead PHYSICAL rows at the end of every group store:
+                   # redirect target for the pallas sparse-update kernel's
+                   # masked items (ops/pallas_sparse_update.py). One full
+                   # bf16 transfer unit, so sentinel writes never share a
+                   # DMA unit with live rows. Packed groups carry
+                   # SENTINEL_ROWS * pack logical sentinel rows.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,6 +69,8 @@ class TableGroup:
       out-of-range sentinel index for dropped scatter updates).
     size_class: 0 = small-table group (always takes the exact XLA
       dense-accumulate update), 1 = big/unsplit (row-RMW-kernel eligible).
+    pack: logical rows per physical store row (128/dim for sub-128 dims
+      dividing 128, else 1). The store array is [total_rows/pack, dim*pack].
     """
 
     table_ids: Tuple[int, ...]
@@ -64,10 +79,44 @@ class TableGroup:
     row_offsets: Tuple[int, ...]
     total_rows: int
     size_class: int = 1
+    pack: int = 1
 
     @property
     def num_tables(self) -> int:
         return len(self.table_ids)
+
+    @property
+    def store_shape(self) -> Tuple[int, int]:
+        """Physical shape of this group's flat store array."""
+        return (self.total_rows // self.pack, self.dim * self.pack)
+
+
+def dim_pack(d: int) -> int:
+    """Logical rows per 128-lane physical row for dim d."""
+    return LANES // d if d < LANES and LANES % d == 0 else 1
+
+
+def pack_store(arr, group: TableGroup):
+    """[total_rows, dim] (logical) -> the group's physical store shape.
+    numpy or jnp; a pure row-major reshape."""
+    return arr.reshape(group.store_shape)
+
+
+def unpack_store(arr, group: TableGroup):
+    """Physical store -> [total_rows, dim] logical rows (for export,
+    printing, quantization — off the hot path)."""
+    return arr.reshape(group.total_rows, group.dim)
+
+
+def gather_rows(store: jax.Array, flat_gidx: jax.Array, group: TableGroup) -> jax.Array:
+    """store rows at LOGICAL global ids -> [N, dim] (packed-aware)."""
+    if group.pack == 1:
+        return jnp.take(store, flat_gidx, axis=0)
+    rows = jnp.take(store, flat_gidx // group.pack, axis=0)
+    sub = (flat_gidx % group.pack).astype(jnp.int32)
+    return jnp.take_along_axis(
+        rows.reshape(-1, group.pack, group.dim), sub[:, None, None], axis=1
+    )[:, 0]
 
 
 def build_table_groups(
@@ -99,20 +148,23 @@ def build_table_groups(
     for key in sorted(by_key):
         d, size_class = key
         entries = by_key[key]
+        pack = dim_pack(d)
+        align = ROW_ALIGN * pack  # table blocks stay physically 8-aligned
         offsets, cur = [], 0
         for _, n in entries:
             offsets.append(cur)
-            cur += _round_up(n, ROW_ALIGN)
+            cur += _round_up(n, align)
         groups.append(
             TableGroup(
                 table_ids=tuple(t for t, _ in entries),
                 rows=tuple(n for _, n in entries),
                 dim=d,
                 row_offsets=tuple(offsets),
-                total_rows=cur + SENTINEL_ROWS,
+                total_rows=cur + SENTINEL_ROWS * pack,
                 # without a split threshold there are no "small" groups —
                 # every group stays kernel-eligible (byte gate still applies)
                 size_class=1 if small_threshold is None else size_class,
+                pack=pack,
             )
         )
     return groups
@@ -146,14 +198,15 @@ def lookup_group(
 ) -> jax.Array:
     """Pooled-sum lookup.
 
-    store: [total_rows, dim]; indices: [T, B, L] per-table row ids;
-    weights: [T, B, L] per-sample weights (0 = padding);
+    store: the group's physical store (``group.store_shape``); indices:
+    [T, B, L] per-table row ids; weights: [T, B, L] per-sample weights
+    (0 = padding);
     vw: optional [total_rows] learned/fixed per-row pooling weights
         (the reference's v_W_l, gathered by index:
         dlrm_s_pytorch.py:545-548).
-    impl: 'xla' (native gather — measured fastest on v5e, see
-        ops/pallas_embedding.py) or 'pallas' (fused DMA kernel, requires
-        dim % 128 == 0).
+    impl: 'xla' (native gather — measured fastest on v5e at L=1, see
+        ops/pallas_embedding.py) or 'pallas' (fused DMA kernel; dims must
+        divide or be a multiple of 128).
     Returns pooled [T, B, dim] = sum_l w * store[idx].
     """
     t, b, l = indices.shape
@@ -162,13 +215,22 @@ def lookup_group(
     if vw is not None:
         w = w * jnp.take(vw, gidx.reshape(-1)).reshape(t, b, l)
     if impl == "pallas" and store.dtype == jnp.float32:
-        from dlrm_yx_tpu.ops.pallas_embedding import fused_lookup
+        from dlrm_yx_tpu.ops import pallas_embedding as pe
 
-        return fused_lookup(store, jnp.minimum(gidx, store.shape[0] - 1), w)
-    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(t, b, l, group.dim)
+        if pe.supports_dim(group.dim):
+            return pe.fused_lookup(
+                store, jnp.minimum(gidx, group.total_rows - 1), w,
+                dim=group.dim,
+            )
+    rows = gather_rows(store, gidx.reshape(-1), group).reshape(
+        t, b, l, group.dim
+    )
     if l == 1:
         return rows[:, :, 0, :].astype(jnp.float32) * w[:, :, 0][..., None]
-    return jnp.einsum("tbl,tbld->tbd", w, rows.astype(jnp.float32))
+    # pooling is bandwidth-bound: a fused VPU multiply-sum is exact f32,
+    # while an einsum would lower to bf16 MXU passes on TPU (measured
+    # ~1e-3 relative error at L=100 — the reference pools in f32)
+    return jnp.sum(w[..., None] * rows.astype(jnp.float32), axis=2)
 
 
 def flat_row_grads(
@@ -209,6 +271,8 @@ def vw_row_grads(
     Returns (flat_idx [T*B*L], flat_g [T*B*L])."""
     t, b, l = indices.shape
     gidx = global_row_ids(group, indices)
-    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(t, b, l, group.dim)
-    g = jnp.einsum("tbld,tbd->tbl", rows.astype(jnp.float32), g_pooled) * weights
+    rows = gather_rows(store, gidx.reshape(-1), group).reshape(
+        t, b, l, group.dim
+    )
+    g = jnp.sum(rows.astype(jnp.float32) * g_pooled[:, :, None, :], axis=-1) * weights
     return gidx.reshape(-1), g.reshape(-1)

@@ -22,9 +22,16 @@ The TPU mapping:
     (L reaches 100+ in the reference's benchmark configs,
     ``bench/dlrm_s_benchmark.sh:41``).
 
-Supported dims: D % 128 == 0 (Terabyte MLPerf D=128 etc.). Smaller dims take
-the XLA gather path (see ops/embedding.lookup_group) — at L=1 that path is
-already bandwidth-bound and competitive.
+Supported dims: D % 128 == 0 (Terabyte MLPerf D=128 etc.) on the natural
+[R, D] layout, and sub-128 divisors of 128 (the reference's flagship 64-dim
+benchmark configs, ``bench/dlrm_s_benchmark.sh:41-44``) on the PACKED
+[R/pack, 128] layout that ops/embedding.py builds for those dims (pack =
+128/D logical rows per physical row — the CUDA kernel's Vec4T any-D role).
+For packed stores the kernel DMAs whole physical rows and accumulates them
+masked to the target lane block; the pack-block sum that produces the final
+[T, B, D] happens in XLA after the kernel (one cheap reshape-reduce).
+Other dims take the XLA gather path (see ops/embedding.lookup_group) — at
+L=1 that path is already bandwidth-bound and competitive.
 
 Gradients: the training path takes cotangents at the pooled-output boundary
 (see train/train_step.py) and applies sparse row updates, so this kernel
@@ -44,7 +51,7 @@ LANES = 128
 
 
 def supports_dim(d: int) -> bool:
-    return d % LANES == 0
+    return d % LANES == 0 or LANES % d == 0
 
 
 def _pick_block_b(b: int, l: int) -> int:
@@ -61,13 +68,23 @@ def _pick_block_b(b: int, l: int) -> int:
 
 
 def _lookup_kernel(
-    idx_ref, w_ref, store_ref, out_ref, rows, sems, *, l: int, k: int
+    idx_ref, sub_ref, w_ref, store_ref, out_ref, rows, sems,
+    *, l: int, k: int, pack: int,
 ):
-    """Grid cell = (table t, batch tile). idx_ref: SMEM [1, BB, L] logical
-    row ids; w_ref: SMEM [1, BB, L] pooling weights (read as scalars);
-    store_ref: HBM [R*k, 128] physical; out_ref: VMEM [1, BB, k, 128];
-    rows: VMEM scratch [2, L, k, 128]; sems: DMA sems [2, L]."""
+    """Grid cell = (table t, batch tile). idx_ref: SMEM [1, BB, L] PHYSICAL
+    row ids; sub_ref: SMEM [1, BB, L] lane-block of the target logical row
+    (all zero when pack == 1); w_ref: SMEM [1, BB, L] pooling weights (read
+    as scalars); store_ref: HBM [R_phys*k, 128] physical; out_ref: VMEM
+    [1, BB, k, 128]; rows: VMEM scratch [2, L, k, 128]; sems: DMA [2, L].
+
+    pack > 1: each DMA'd physical row holds `pack` logical rows of d =
+    128/pack lanes; the target block is selected by masking lanes
+    (block_iota == sub) so each contribution accumulates inside its own
+    lane block; the caller reduces blocks after the kernel."""
     bb = out_ref.shape[1]
+    d_sub = LANES // pack
+    if pack > 1:
+        block_iota = jax.lax.broadcasted_iota(jnp.int32, (k, LANES), 1) // d_sub
 
     def issue(slot, s):
         for j in range(l):
@@ -85,6 +102,13 @@ def _lookup_kernel(
                 sems.at[slot, j],
             ).wait()
 
+    def contribution(slot, s, j):
+        # scalar pooling weight from SMEM x [k, 128] row vector on the VPU
+        v = rows[slot, j] * w_ref[0, s, j]
+        if pack == 1:
+            return v
+        return jnp.where(block_iota == sub_ref[0, s, j], v, 0.0)
+
     issue(0, 0)
 
     def body(s, _):
@@ -95,10 +119,9 @@ def _lookup_kernel(
             issue((s + 1) % 2, s + 1)
 
         wait(slot)
-        # scalar pooling weights from SMEM x [k, 128] row vectors on the VPU
-        acc = rows[slot, 0] * w_ref[0, s, 0]
+        acc = contribution(slot, s, 0)
         for j in range(1, l):
-            acc = acc + rows[slot, j] * w_ref[0, s, j]
+            acc = acc + contribution(slot, s, j)
         out_ref[0, s] = acc
         return 0
 
@@ -106,36 +129,58 @@ def _lookup_kernel(
     jax.lax.fori_loop(0, bb, body, 0, unroll=bb if bb <= 32 else 1)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret", "dim"))
 def fused_lookup(
     store: jax.Array,
     gidx: jax.Array,
     weights: jax.Array,
     block_b: int | None = None,
     interpret: bool = False,
+    dim: int | None = None,
 ) -> jax.Array:
     """Pooled-sum lookup: out[t, b] = sum_l weights[t,b,l] * store[gidx[t,b,l]].
 
-    store: [R, D] flat table-batched weights (one dim-group), D % 128 == 0.
-    gidx:  [T, B, L] int32 GLOBAL row ids (table offsets applied, clamped to
-           [0, R-1]; padding entries must carry weight 0).
+    store: flat table-batched weights (one dim-group). Either [R, D] with
+           D % 128 == 0 (dim=None), or the PACKED [R/pack, 128] layout for
+           sub-128 dims (pass dim; see module docstring).
+    gidx:  [T, B, L] int32 GLOBAL LOGICAL row ids (table offsets applied,
+           clamped to [0, R-1]; padding entries must carry weight 0).
     weights: [T, B, L] float32.
-    Returns [T, B, D] float32.
+    Returns [T, B, dim] float32.
     """
     t, b, l = gidx.shape
-    r, d = store.shape
-    if not supports_dim(d):
-        raise ValueError(f"fused_lookup requires D % {LANES} == 0, got {d}")
-    k = d // LANES
-    store_phys = store.reshape(r * k, LANES)
+    r_phys, width = store.shape
+    d = width if dim is None else dim
+    if d >= width:
+        if d != width or width % LANES:
+            raise ValueError(f"bad store width {width} for dim {d}")
+        pack = 1
+    else:
+        if width != LANES or LANES % d:
+            raise ValueError(
+                f"packed store must be [R/pack, {LANES}] with dim | {LANES}; "
+                f"got width {width}, dim {d}"
+            )
+        pack = LANES // d
+    k = width // LANES
+    store_phys = store.reshape(r_phys * k, LANES)
     bb = block_b or _pick_block_b(b, l)
     grid = (t, pl.cdiv(b, bb))
+    if pack == 1:
+        punit = gidx
+        sub = jnp.zeros_like(gidx)
+    else:
+        punit = jnp.minimum(gidx // pack, r_phys - 1)
+        sub = gidx % pack
 
-    kernel = functools.partial(_lookup_kernel, l=l, k=k)
+    kernel = functools.partial(_lookup_kernel, l=l, k=k, pack=pack)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(
+                (1, bb, l), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(
                 (1, bb, l), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM
             ),
@@ -157,9 +202,12 @@ def fused_lookup(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * b * l * d,
-            bytes_accessed=t * b * l * (d * 4 + 8) + t * b * d * 4,
+            bytes_accessed=t * b * l * (width * 4 + 8) + t * b * width * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(gidx, weights.astype(jnp.float32), store_phys)
-    return out.reshape(t, b, d)
+    )(punit, sub, weights.astype(jnp.float32), store_phys)
+    if pack == 1:
+        return out.reshape(t, b, d)
+    # each contribution lives in its own lane block; fold blocks together
+    return out.reshape(t, b, pack, d).sum(axis=2)

@@ -38,7 +38,20 @@ unit, add the update into the target row via a vector select, write the
 unit back. Conflicts are detected at unit granularity. Updates arrive in
 float32 and round to the store dtype at write-back.
 
-D must be a multiple of 128 (lanes). Other dims use the XLA path.
+Dims: D multiples of 128 work on the natural [R, D] layout. Sub-128 dims
+that divide 128 (the reference's flagship 64-dim configs,
+``/root/reference/bench/dlrm_s_benchmark.sh:41-44`` and
+``bench/dlrm_s_criteo_terabyte.sh:24``; also 32/16/8) are supported via
+PACKED stores: pack = 128/D logical rows per 128-lane physical row, the
+same role Vec4T plays for the CUDA kernel's any-D support
+(``…cuda_yx.cu:40-129``). The caller keeps the store as ``[R/pack, 128]``
+(ops/embedding.py builds group stores that way — an [R, 64] array would
+get a lane-padded T(8,128) layout from XLA, wasting HBM and forcing a
+relayout copy at every kernel call). Updates are lane-placed into
+128-wide rows by vectorized XLA preprocessing; the kernel body is
+identical — conflicts are detected at transfer-unit granularity, which
+also serializes two different logical rows sharing a physical row.
+Dims that do not divide 128 take the XLA path.
 """
 
 from __future__ import annotations
@@ -58,7 +71,14 @@ CMAX = 256      # serialized-pass capacity for conflicted items
 
 
 def supports_dim(d: int) -> bool:
-    return d % LANES == 0
+    """Multiples of 128 run on the natural layout; divisors of 128 run on
+    the packed [R/pack, 128] layout (see module docstring)."""
+    return d % LANES == 0 or LANES % d == 0
+
+
+def pack_factor(d: int) -> int:
+    """Logical rows per 128-lane physical row for dim d."""
+    return LANES // d if d < LANES and LANES % d == 0 else 1
 
 
 def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
@@ -177,7 +197,7 @@ def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "stochastic_round")
+    jax.jit, static_argnames=("interpret", "stochastic_round", "dim")
 )
 def sparse_rows_add(
     store: jax.Array,
@@ -187,41 +207,69 @@ def sparse_rows_add(
     interpret: bool = False,
     stochastic_round: bool = False,
     seed=0,
+    dim: int | None = None,
 ) -> jax.Array:
     """In-place ``store[idx[k]] += upd[k]`` for active items, touching only
     the updated rows (plus the sentinel rows).
 
-    store: [R, D] float32 or bfloat16, D % 128 == 0; the last SENTINEL_ROWS
-      rows must be dead (every group store built by
-      ops/embedding.build_table_groups ends with them). Donate the buffer.
-    idx: [K] int32 row ids in [0, R) (any value OK for inactive items).
-    upd: [K, D] float32 update rows (optimizer math pre-applied).
+    store: float32 or bfloat16. Either the natural layout [R, D] with
+      D % 128 == 0 (dim=None), or a PACKED store [R/pack, 128] holding
+      pack = 128/dim logical rows per physical row (pass dim = the logical
+      row width; required for sub-128 dims — see module docstring). The
+      last transfer unit (pack * 8 logical rows covers every dtype) must be
+      dead sentinel rows (ops/embedding.build_table_groups provisions
+      them). Donate the buffer.
+    idx: [K] int32 LOGICAL row ids in [0, R) (any value OK for inactive).
+    upd: [K, dim] float32 update rows (optimizer math pre-applied).
     active: [K] int32/bool; 0 = skip (padding slots, dropped sentinels).
-    Returns the updated store (aliased with the input buffer).
+    Returns the updated store (same shape as the input, aliased buffer).
     """
-    r, d = store.shape
+    r_phys, width = store.shape
+    d = width if dim is None else dim
     k = idx.shape[0]
-    if not supports_dim(d):
-        raise ValueError(f"sparse_rows_add requires D % {LANES} == 0, got {d}")
-    kk = d // LANES
+    if d >= width:
+        if d != width or width % LANES:
+            raise ValueError(f"bad store width {width} for dim {d}")
+        pack = 1
+    else:
+        if width != LANES or LANES % d:
+            raise ValueError(
+                f"packed store must be [R/pack, {LANES}] with dim | {LANES}; "
+                f"got width {width}, dim {d}"
+            )
+        pack = LANES // d
+    kk = width // LANES
+    r_log = r_phys * pack
     # bf16 HBM/VMEM slices must be 8-sublane aligned on TPU (packed tiling),
     # so bf16 stores move 8-row units; f32 moves single rows
     pk = 1 if store.dtype == jnp.float32 else 8
-    if r % pk:
-        raise ValueError(f"store rows {r} must be a multiple of {pk}")
-    store_phys = store.reshape(r * kk, LANES)
+    if r_phys % pk:
+        raise ValueError(f"store rows {r_phys} must be a multiple of {pk}")
+    store_phys = store.reshape(r_phys * kk, LANES)
+    unit_rows = pk * pack  # logical rows per transfer/hazard unit
 
     active = active.astype(jnp.int32)
-    safe_idx = jnp.where(active > 0, jnp.clip(idx, 0, r - 1 - pk), r - 1).astype(
-        jnp.int32
-    )
-    unit = safe_idx // pk  # hazard/transfer granularity
+    safe_idx = jnp.where(
+        active > 0, jnp.clip(idx, 0, r_log - 1 - unit_rows), r_log - 1
+    ).astype(jnp.int32)
+    unit = safe_idx // unit_rows  # hazard/transfer granularity
     is_conf = conflict_flags(unit, active)
     redirect = (active == 0) | (is_conf > 0)
-    sentinel_unit = (r - pk) // pk
+    sentinel_unit = r_phys // pk - 1
     main_unit = jnp.where(redirect, sentinel_unit, unit)
-    sub = jnp.where(redirect, 0, safe_idx % pk).astype(jnp.int32)
-    main_upd = jnp.where(redirect[:, None], 0.0, upd)
+    sub = jnp.where(redirect, 0, (safe_idx // pack) % pk).astype(jnp.int32)
+    if pack == 1:
+        upd_w = upd
+    else:
+        # lane-place each d-wide update into its block of the 128-lane row
+        lsub = safe_idx % pack
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (k, pack), 1) == lsub[:, None]
+        )
+        upd_w = (
+            jnp.where(onehot[:, :, None], upd[:, None, :], 0.0)
+        ).reshape(k, width)
+    main_upd = jnp.where(redirect[:, None], 0.0, upd_w)
     phys_idx = main_unit.astype(jnp.int32)  # unit ids; kernel scales by pk*kk
 
     bk = max(2 * W, min(BK, k))
@@ -262,18 +310,24 @@ def sparse_rows_add(
         jnp.asarray([seed], jnp.int32),
         phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys,
     )
-    out = out.reshape(r, d)
+    out = out.reshape(r_phys, width)
 
-    # exact tail pass for the redirected (conflicted) items
+    # exact tail pass for the redirected (conflicted) items, applied on the
+    # physical rows (two conflicted items sharing one physical row are
+    # serialized by the fori_loop; lane blocks are disjoint per logical row)
     nconf = jnp.sum(is_conf)
     _, conf_pos = jax.lax.top_k(is_conf, min(CMAX, is_conf.shape[0]))
     conf_act = jnp.take(is_conf, conf_pos)
-    conf_idx = jnp.where(conf_act > 0, jnp.take(safe_idx, conf_pos), r - 1)
-    conf_upd = jnp.take(upd, conf_pos, axis=0) * conf_act[:, None]
+    conf_prow = jnp.where(
+        conf_act > 0, jnp.take(safe_idx, conf_pos) // pack, r_phys - 1
+    )
+    conf_upd = jnp.take(upd_w[: idx.shape[0]], conf_pos, axis=0) * conf_act[
+        :, None
+    ]
 
     def apply_seq(s):
         def b(i, s):
-            row = conf_idx[i]
+            row = conf_prow[i]
             new_row = (
                 jax.lax.dynamic_index_in_dim(s, row, 0, False).astype(
                     jnp.float32
@@ -286,9 +340,10 @@ def sparse_rows_add(
 
     def fallback(s):
         # adversarial overflow: exact XLA scatter of ALL conflicted items
-        all_idx = jnp.where(is_conf > 0, safe_idx, r - 1)
-        return s.at[all_idx].add(
-            (upd * is_conf[:, None]).astype(s.dtype), mode="drop"
+        all_prow = jnp.where(is_conf > 0, safe_idx // pack, r_phys - 1)
+        return s.at[all_prow].add(
+            (upd_w[: idx.shape[0]] * is_conf[:, None]).astype(s.dtype),
+            mode="drop",
         )
 
     return jax.lax.cond(nconf <= CMAX, apply_seq, fallback, out)

@@ -92,8 +92,14 @@ def quantized_lookup_group(
 def quantize_model_embeddings(params: dict, groups, bits: int = 8) -> List[QuantizedStore]:
     """Quantize every dim-group store (the reference's quantize_embedding,
     which drops the fp32 tables afterwards; we return the quantized stores
-    and leave dropping to the caller)."""
-    return [quantize_store(np.asarray(params["emb"][i]), bits) for i in range(len(groups))]
+    and leave dropping to the caller). Row-wise scales need LOGICAL rows,
+    so packed stores are unpacked first."""
+    from dlrm_yx_tpu.ops.embedding import unpack_store
+
+    return [
+        quantize_store(np.asarray(unpack_store(params["emb"][i], g)), bits)
+        for i, g in enumerate(groups)
+    ]
 
 
 @dataclasses.dataclass

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from dlrm_yx_tpu.ops.coalesce import coalesce_rows
-from dlrm_yx_tpu.ops.embedding import TableGroup
+from dlrm_yx_tpu.ops.embedding import TableGroup, dim_pack
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,8 +56,12 @@ def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -
     }
     if opt.name == "adagrad":
         emb = [jnp.zeros(e.shape, jnp.float32) for e in params["emb"]]
-    else:  # rwsadagrad: one accumulator per row
-        emb = [jnp.zeros((e.shape[0],), jnp.float32) for e in params["emb"]]
+    else:  # rwsadagrad: one accumulator per LOGICAL row (stores may be
+        # packed pack-rows-per-physical-row; groups carry the true count)
+        emb = [
+            jnp.zeros((g.total_rows,), jnp.float32)
+            for g, e in zip(groups, params["emb"])
+        ]
     state = {"dense": dense, "emb": emb}
     if params.get("vw") is not None:
         state["vw"] = [jnp.zeros_like(v) for v in params["vw"]]
@@ -116,9 +120,47 @@ def update_dense_towers(opt: OptConfig, params, opt_state, g_dense, lr):
 # expensive; small stores scatter fast and exactly in XLA
 PALLAS_MIN_STORE_BYTES = 64 << 20
 
+# update-density crossover: the RMW kernel moves one transfer unit per
+# update occurrence and is DMA-ISSUE-bound (~25M rows/s on v5e, ~40 ns/row),
+# while a dense accumulate + full-store rewrite is BANDWIDTH-bound
+# (~4x store bytes). With K occurrences and R physical store rows the
+# kernel wins while K << R; past K >= R / DENSE_ACCUM_FACTOR the dense
+# rewrite is cheaper (the reference's high-L benchmark configs, 100
+# indices/lookup on 1M-row tables, land far past it: K = T*B*L = 1.6M vs
+# R = 4.2M physical rows). The dense path coalesces exactly, so
+# adagrad-family momentum is also bit-exact there (grad.coalesce()
+# semantics, /root/reference/optim/rwsadagrad.py:98).
+DENSE_ACCUM_FACTOR = 8
+
 
 def _store_bytes(store: jax.Array) -> int:
     return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
+
+
+def _expand_lanes(flat_g: jax.Array, lsub: jax.Array, pack: int) -> jax.Array:
+    """[K, d] update rows -> [K, d*pack] physical rows with each update
+    placed in its logical row's lane block (zeros elsewhere)."""
+    if pack == 1:
+        return flat_g
+    k, d = flat_g.shape
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, pack), 1)
+        == lsub[:, None].astype(jnp.int32)
+    )
+    return jnp.where(onehot[:, :, None], flat_g[:, None, :], 0.0).reshape(
+        k, d * pack
+    )
+
+
+def _gather_fill(arr: jax.Array, idx: jax.Array, d: int, pack: int, fill=1.0):
+    """arr rows at LOGICAL ids -> [K, d] (packed-aware; OOB ids -> fill)."""
+    if pack == 1:
+        return jnp.take(arr, idx, axis=0, mode="fill", fill_value=fill)
+    rows = jnp.take(arr, idx // pack, axis=0, mode="fill", fill_value=fill)
+    sub = (idx % pack).astype(jnp.int32)
+    return jnp.take_along_axis(
+        rows.reshape(-1, pack, d), sub[:, None, None], axis=1
+    )[:, 0]
 
 
 def sparse_update(
@@ -135,11 +177,14 @@ def sparse_update(
     stochastic_round: bool = False,
     sr_seed=0,
     size_class: int = 1,
+    dim: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
-    store: [R, D]; flat_idx: [K] row ids (duplicates allowed, sentinel = R
-    for padding); flat_g: [K, D] gradient contributions.
+    store: [R, D] natural layout, or the packed [R/pack, dim*pack] layout
+    for sub-128 dims (pass dim = logical row width; see ops/embedding.py);
+    flat_idx: [K] LOGICAL row ids (duplicates allowed, sentinel = R for
+    padding); flat_g: [K, dim] gradient contributions.
 
     row_dim: optional [R] float32 of each row's TRUE embedding dim, for
     stores holding zero-padded mixed-dim (MD) tables — rwsadagrad's per-row
@@ -163,10 +208,23 @@ def sparse_update(
     """
     from dlrm_yx_tpu.ops import pallas_sparse_update as psu
 
+    width = store.shape[1]
+    d = width if dim is None else dim
+    pack = width // d if d < width else 1
+    if d * pack != width:
+        raise ValueError(f"dim {d} does not tile store width {width}")
+    # kernel needs either the natural wide layout or a proper packed store
+    layout_ok = (pack == 1 and d % 128 == 0) or (
+        pack > 1 and width == 128 and pack == dim_pack(d)
+    )
+    dense_by_density = (
+        flat_idx.shape[0] * DENSE_ACCUM_FACTOR >= store.shape[0]
+    )
     use_kernel = (
         impl == "pallas"
         and size_class != 0
-        and psu.supports_dim(store.shape[1])
+        and layout_ok
+        and not dense_by_density
         and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
     )
     if use_kernel:
@@ -175,29 +233,27 @@ def sparse_update(
             return (
                 psu.sparse_rows_add(
                     store, flat_idx, -lr * flat_g, active, interpret=interpret,
-                    stochastic_round=stochastic_round, seed=sr_seed,
+                    stochastic_round=stochastic_round, seed=sr_seed, dim=d,
                 ),
                 acc,
             )
         safe = jnp.where(active > 0, flat_idx, sentinel)
         if opt.name == "adagrad":
             acc = psu.sparse_rows_add(
-                acc, flat_idx, flat_g * flat_g, active, interpret=interpret
+                acc, flat_idx, flat_g * flat_g, active, interpret=interpret,
+                dim=d,
             )
-            denom = (
-                jnp.sqrt(jnp.take(acc, safe, axis=0, mode="fill", fill_value=1.0))
-                + opt.eps
-            )
+            denom = jnp.sqrt(_gather_fill(acc, safe, d, pack)) + opt.eps
             return (
                 psu.sparse_rows_add(
                     store, flat_idx, -lr * flat_g / denom, active,
                     interpret=interpret,
-                    stochastic_round=stochastic_round, seed=sr_seed,
+                    stochastic_round=stochastic_round, seed=sr_seed, dim=d,
                 ),
                 acc,
             )
-        # rwsadagrad: 1-D per-row momentum — the [R] scatter is a cheap
-        # full rewrite (4 bytes/row), no kernel needed
+        # rwsadagrad: 1-D per-LOGICAL-row momentum — the [R] scatter is a
+        # cheap full rewrite (4 bytes/row), no kernel needed
         if row_dim is None:
             mom_inc = jnp.mean(flat_g * flat_g, axis=-1) * active
         else:
@@ -213,48 +269,73 @@ def sparse_update(
             psu.sparse_rows_add(
                 store, flat_idx, -lr * flat_g / denom[:, None], active,
                 interpret=interpret,
-                stochastic_round=stochastic_round, seed=sr_seed,
+                stochastic_round=stochastic_round, seed=sr_seed, dim=d,
             ),
             acc,
         )
 
+    punit = flat_idx // pack if pack > 1 else flat_idx
     if opt.name == "sgd":
-        # linear update: scatter-add handles duplicates exactly
+        # linear update: scatter-add handles duplicates exactly (lane
+        # blocks of logical rows sharing a physical row are disjoint)
+        upd_w = _expand_lanes(-lr * flat_g, flat_idx % pack, pack)
         return (
-            store.at[flat_idx].add((-lr * flat_g).astype(store.dtype), mode="drop"),
+            store.at[punit].add(upd_w.astype(store.dtype), mode="drop"),
             acc,
         )
 
-    if size_class == 0 or _store_bytes(store) < PALLAS_MIN_STORE_BYTES:
-        # small store: dense-accumulate instead of sort-based coalescing.
+    if (
+        size_class == 0
+        or dense_by_density
+        or _store_bytes(store) < PALLAS_MIN_STORE_BYTES
+    ):
+        # small store OR dense update (high-L): dense-accumulate instead of
+        # sort-based coalescing.
         # The scatter into a zero buffer IS the coalesced gradient (XLA's
         # full-store rewrite is cheap at this size and exact on duplicates);
         # untouched rows see zero grad, so the Adagrad-family update is a
         # no-op for them — identical semantics, no 36k-key sort (~2 ms on
         # v5e) in the hot path.
         dense_g = (
-            jnp.zeros(store.shape, jnp.float32).at[flat_idx].add(flat_g, mode="drop")
+            jnp.zeros(store.shape, jnp.float32)
+            .at[punit]
+            .add(_expand_lanes(flat_g, flat_idx % pack, pack), mode="drop")
         )
         if opt.name == "adagrad":
             acc = acc + dense_g * dense_g
             upd = store.astype(jnp.float32) - lr * dense_g / (jnp.sqrt(acc) + opt.eps)
             return upd.astype(store.dtype), acc
+        # rwsadagrad momentum is per LOGICAL row: reduce each lane block
+        g3 = dense_g.reshape(store.shape[0], pack, d)
         if row_dim is None:
-            mom = jnp.mean(dense_g * dense_g, axis=-1)
+            mom = jnp.mean(g3 * g3, axis=-1)
         else:
-            mom = jnp.sum(dense_g * dense_g, axis=-1) / row_dim
-        acc = acc + mom
-        upd = store.astype(jnp.float32) - lr * dense_g / (
-            jnp.sqrt(acc) + opt.eps
-        )[:, None]
+            mom = jnp.sum(g3 * g3, axis=-1) / row_dim.reshape(
+                store.shape[0], pack
+            )
+        acc = acc + mom.reshape(acc.shape)
+        denom3 = (
+            jnp.sqrt(acc.reshape(store.shape[0], pack))[..., None] + opt.eps
+        )
+        upd = store.astype(jnp.float32) - lr * (g3 / denom3).reshape(
+            store.shape
+        )
         return upd.astype(store.dtype), acc
 
     uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
+    puniq = uniq // pack if pack > 1 else uniq
     if opt.name == "adagrad":
-        acc = acc.at[uniq].add(sg * sg, mode="drop")
-        denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
+        acc = acc.at[puniq].add(
+            _expand_lanes(sg * sg, uniq % pack, pack), mode="drop"
+        )
+        denom = jnp.sqrt(_gather_fill(acc, uniq, d, pack)) + opt.eps
         return (
-            store.at[uniq].add((-lr * sg / denom).astype(store.dtype), mode="drop"),
+            store.at[puniq].add(
+                _expand_lanes(-lr * sg / denom, uniq % pack, pack).astype(
+                    store.dtype
+                ),
+                mode="drop",
+            ),
             acc,
         )
 
@@ -269,8 +350,11 @@ def sparse_update(
     acc = acc.at[uniq].add(mom_inc, mode="drop")
     denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
     return (
-        store.at[uniq].add(
-            (-lr * sg / denom[:, None]).astype(store.dtype), mode="drop"
+        store.at[puniq].add(
+            _expand_lanes(-lr * sg / denom[:, None], uniq % pack, pack).astype(
+                store.dtype
+            ),
+            mode="drop",
         ),
         acc,
     )

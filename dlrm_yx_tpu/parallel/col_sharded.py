@@ -191,7 +191,7 @@ def _local_pooled(store, plan: ColShardPlan, gid, weights):
     )
     if l == 1:
         return rows[:, :, 0, :] * weights[:, :, 0][..., None]
-    return jnp.einsum("tbl,tbld->tbd", weights, rows)
+    return jnp.sum(weights[..., None] * rows, axis=2)
 
 
 def make_col_sharded_train_step(

@@ -259,7 +259,7 @@ def _local_lookup(
     if l == 1:
         pooled = emb[:, :, 0, :] * weights[:, :, 0][..., None]
     else:
-        pooled = jnp.einsum("tbl,tbld->tbd", weights, emb)
+        pooled = jnp.sum(weights[..., None] * emb, axis=2)
     return pooled, gidx, q_rows, r_rows, is_qr
 
 
@@ -515,7 +515,7 @@ def make_hybrid_train_step(
         if vw is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_pooled, store[row]>
             gv = (
-                jnp.einsum("tbld,tbd->tbl", q_rows, g_pooled)
+                jnp.sum(q_rows * g_pooled[:, :, None, :], axis=-1)
                 * batch.weights
             ).reshape(t * bd * l)
             vidx = jnp.minimum(gidx, plan.r_pad - 1).reshape(t * bd * l)

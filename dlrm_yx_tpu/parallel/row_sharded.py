@@ -235,7 +235,7 @@ def _partial_pooled(store, plan: RowShardPlan, gid, weights):
     if l == 1:
         pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
     else:
-        pooled = jnp.einsum("tbl,tbld->tbd", w, rows)
+        pooled = jnp.sum(w[..., None] * rows, axis=2)
     sent_local = jnp.where(owned & (weights > 0), local, plan.rows_local)
     return pooled, sent_local.astype(jnp.int32)
 

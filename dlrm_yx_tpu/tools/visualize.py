@@ -171,9 +171,11 @@ def load_tables_from_checkpoint(ckpt_dir: str, config) -> List[np.ndarray]:
     groups = model_groups(config)
     opt_like = init_opt_state(OptConfig("sgd", 0.1), params_like, groups)
     params, _, _ = load_checkpoint(ckpt_dir, params_like, opt_like)
+    from dlrm_yx_tpu.ops.embedding import unpack_store
+
     tables = {}
     for g, store in zip(groups, params["emb"]):
-        s = np.asarray(store)
+        s = np.asarray(unpack_store(store, g))
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             tables[tid] = s[off : off + n]
     return [tables[t] for t in sorted(tables)]

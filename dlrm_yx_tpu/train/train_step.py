@@ -138,7 +138,7 @@ def apply_gradients(
             opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
             impl=config.sparse_update_impl, interpret=_interpret(),
             stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
-            size_class=g.size_class,
+            size_class=g.size_class, dim=g.dim,
         )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
@@ -343,7 +343,7 @@ def make_accum_train_step(
                 lr, g.total_rows,
                 impl=config.sparse_update_impl, interpret=_interpret(),
                 stochastic_round=config.stochastic_rounding, sr_seed=iteration,
-                size_class=g.size_class,
+                size_class=g.size_class, dim=g.dim,
             )
             new_emb.append(store2)
             new_emb_acc.append(acc2)

@@ -12,7 +12,7 @@ from dlrm_yx_tpu.config import DLRMConfig
 from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
 from dlrm_yx_tpu.models.dlrm import init_dlrm
-from dlrm_yx_tpu.ops.embedding import build_table_groups
+from dlrm_yx_tpu.ops.embedding import build_table_groups, unpack_store
 from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
 from dlrm_yx_tpu.parallel.col_sharded import (
     build_col_sharded_emb,
@@ -106,7 +106,7 @@ def test_col_sharded_matches_single_device(mesh_shape, optname):
     got = extract_col_sharded_tables(plan, np.asarray(p2["emb"]))
     per_table = {}
     for g, store in zip(groups, p1["emb"]):
-        s = np.asarray(store)
+        s = np.asarray(unpack_store(store, g))
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             per_table[tid] = s[off : off + n]
     for t in range(cfg.num_tables):

@@ -12,6 +12,7 @@ from dlrm_yx_tpu.ops.embedding import (
     build_table_groups,
     flat_row_grads,
     lookup_group,
+    pack_store,
 )
 from dlrm_yx_tpu.ops.interaction import interact_features, tril_flat_indices
 from dlrm_yx_tpu.ops.losses import loss_fn
@@ -82,7 +83,10 @@ def test_lookup_group_matches_embedding_bag():
     b, l = 6, 3
     indices = np.stack([rng.randint(0, n, size=(b, l)) for n in rows]).astype(np.int32)
     weights = (rng.random_sample((3, b, l)) > 0.3).astype(np.float32)
-    got = lookup_group(jnp.asarray(store), g, jnp.asarray(indices), jnp.asarray(weights))
+    got = lookup_group(
+        jnp.asarray(pack_store(store, g)), g, jnp.asarray(indices),
+        jnp.asarray(weights),
+    )
     want = np.stack(
         [oracle.embedding_bag(tables[t], indices[t], weights[t]) for t in range(3)]
     )

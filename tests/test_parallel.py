@@ -13,7 +13,7 @@ from dlrm_yx_tpu.config import DLRMConfig
 from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
 from dlrm_yx_tpu.models.dlrm import init_dlrm
-from dlrm_yx_tpu.ops.embedding import build_table_groups
+from dlrm_yx_tpu.ops.embedding import build_table_groups, unpack_store
 from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
 from dlrm_yx_tpu.parallel.mesh import make_mesh
 from dlrm_yx_tpu.parallel.plan import (
@@ -158,7 +158,7 @@ def test_hybrid_matches_single_device(mesh_shape, optname):
     got = extract_tables(plan, cfg, np.asarray(p2["emb"]))
     per_table = {}
     for g, store in zip(groups, p1["emb"]):
-        s = np.asarray(store)
+        s = np.asarray(unpack_store(store, g))
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             per_table[tid] = s[off : off + n]
     for t in range(cfg.num_tables):

@@ -73,7 +73,57 @@ def test_conflict_flags():
     c = np.asarray(conflict_flags(idx, act))
     assert c.tolist() == [0, 0, 1, 0, 0, 1]  # items 2,5 re-hit row 5; item 3's
     # only prior 9 was inactive
-    assert supports_dim(128) and not supports_dim(64)
+    assert supports_dim(128) and supports_dim(256)
+    assert supports_dim(64) and supports_dim(32) and supports_dim(8)
+    assert not supports_dim(48) and not supports_dim(96)
+
+
+@pytest.mark.parametrize("d", [8, 32, 64])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_sparse_rows_add_packed_sub128_dims(d, dtype):
+    """Sub-128 dims run on the packed [R/pack, 128] layout (the reference's
+    flagship 64-dim configs, bench/dlrm_s_benchmark.sh:41-44): pack=128/d
+    logical rows per physical row, conflicts at transfer-unit granularity
+    (two logical rows sharing a physical row must serialize exactly)."""
+    from dlrm_yx_tpu.ops.pallas_sparse_update import pack_factor
+
+    r = np.random.RandomState(11)
+    pack = pack_factor(d)
+    jdt = jnp.dtype(dtype)
+    R = 2048 * pack  # logical rows; R/pack physical rows (multiple of 8)
+    K = 512
+    store_log = r.randn(R, d).astype(np.float32)
+    idx = r.randint(0, R - 8 * pack, K).astype(np.int32)  # incl. adjacent-
+    # row collisions within physical rows
+    idx[:32] = r.randint(0, 4 * pack, 32)  # force unit conflicts
+    upd = r.randn(K, d).astype(np.float32)
+    active = (r.rand(K) > 0.2).astype(np.int32)
+    packed = jnp.asarray(store_log, jdt).reshape(R // pack, d * pack)
+    got = np.asarray(
+        sparse_rows_add(
+            packed, jnp.asarray(idx), jnp.asarray(upd), jnp.asarray(active),
+            interpret=True, dim=d,
+        )
+        .reshape(R, d)
+        .astype(jnp.float32)
+    )
+    live = R - 8 * pack  # last physical unit is sentinel scratch
+    if dtype == "float32":
+        want = _ref_apply(store_log, idx, upd, active)
+        np.testing.assert_allclose(got[:live], want[:live], rtol=1e-5,
+                                   atol=1e-5)
+    else:
+        # bf16 store: f32 RMW math, rounded to bf16 per update
+        want = np.array(jnp.asarray(store_log, jdt).astype(jnp.float32))
+        for k in range(K):
+            if active[k]:
+                want[idx[k]] = np.asarray(
+                    (jnp.asarray(want[idx[k]]) + upd[k])
+                    .astype(jdt)
+                    .astype(jnp.float32)
+                )
+        np.testing.assert_allclose(got[:live], want[:live], rtol=0.02,
+                                   atol=0.05)
 
 
 def test_sparse_update_pallas_impl_matches_xla_sgd():
@@ -169,7 +219,7 @@ def test_size_class_gates_kernel_routing(monkeypatch):
     r = np.random.RandomState(7)
     d = 128
     R = 256 + SENTINEL_ROWS
-    K = 64
+    K = 24  # small enough to stay under the dense-accum density crossover
     opt = OptConfig("adagrad", 0.05)
     store = r.randn(R, d).astype(np.float32)
     acc = np.abs(r.randn(R, d)).astype(np.float32)
@@ -196,6 +246,40 @@ def test_size_class_gates_kernel_routing(monkeypatch):
         size_class=1,
     )
     assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6
+
+
+def test_dense_update_density_crossover(monkeypatch):
+    """High-L steps (occurrences >= rows/DENSE_ACCUM_FACTOR) take the
+    dense-accumulate path even on kernel-eligible stores — it is
+    bandwidth-bound instead of DMA-issue-bound AND exactly coalescing, so
+    adagrad momentum on the duplicate-heavy updates matches the exact XLA
+    path bit-for-bit (the reference's 100-indices-per-lookup benchmark,
+    bench/dlrm_s_benchmark.sh:41)."""
+    import dlrm_yx_tpu.optim.optimizer as om
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    r = np.random.RandomState(9)
+    d = 128
+    R = 512 + SENTINEL_ROWS
+    K = 512  # K * 8 >= R -> dense path
+    opt = OptConfig("adagrad", 0.05)
+    store = r.randn(R, d).astype(np.float32)
+    acc = np.abs(r.randn(R, d)).astype(np.float32)
+    idx = r.randint(0, 64, K).astype(np.int32)  # heavy duplicates
+    g = r.randn(K, d).astype(np.float32)
+    exact, acc_exact = sparse_update(
+        opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+        jnp.asarray(g), 0.05, R, impl="xla",
+    )
+    got, acc_got = om.sparse_update(
+        opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+        jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+        size_class=1,
+    )
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(got),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_exact), np.asarray(acc_got),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_train_step_pallas_sparse_impl_matches_xla():

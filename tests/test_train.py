@@ -10,7 +10,7 @@ from dlrm_yx_tpu.config import DLRMConfig
 from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
 from dlrm_yx_tpu.models.dlrm import forward, init_dlrm
-from dlrm_yx_tpu.ops.embedding import build_table_groups
+from dlrm_yx_tpu.ops.embedding import build_table_groups, unpack_store
 from dlrm_yx_tpu.optim.lr_policy import LRPolicy
 from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state, sparse_update
 from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
@@ -39,7 +39,7 @@ def tables_from_params(cfg, params):
     groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
     per_table = {}
     for g, store in zip(groups, params["emb"]):
-        s = np.asarray(store)
+        s = np.asarray(unpack_store(store, g))
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             per_table[tid] = s[off : off + n]
     return [per_table[t] for t in range(cfg.num_tables)]
