@@ -25,8 +25,7 @@ def main():
 
     from dlrm_yx_tpu.config import DLRMConfig
     from dlrm_yx_tpu.data.batch import Batch
-    from dlrm_yx_tpu.models.dlrm import init_dlrm_on_device
-    from dlrm_yx_tpu.ops.embedding import build_table_groups
+    from dlrm_yx_tpu.models.dlrm import init_dlrm_on_device, model_groups
     from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
     from dlrm_yx_tpu.train.train_step import make_train_step
 
@@ -36,7 +35,7 @@ def main():
         cfg, compute_dtype="bfloat16", sparse_update_impl="pallas"
     )
     params = init_dlrm_on_device(cfg, seed=123)
-    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    groups = model_groups(cfg)
     opt = OptConfig("rwsadagrad", 0.01)
     state = init_opt_state(opt, params, groups)
     step = make_train_step(cfg, opt)

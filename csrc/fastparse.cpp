@@ -17,29 +17,18 @@
 #include <cmath>
 #include <fcntl.h>
 #include <unistd.h>
+#include <sys/mman.h>
 #include <sys/stat.h>
+
+#include <algorithm>
+#include <thread>
+#include <vector>
 
 namespace {
 
 constexpr int kDen = 13;
 constexpr int kSpa = 26;
 constexpr int kTot = 1 + kDen + kSpa;
-
-// xorshift128+ for sub-sampling decisions (seeded per call for determinism)
-struct Rng {
-  uint64_t s0, s1;
-  explicit Rng(uint64_t seed) : s0(seed ^ 0x9E3779B97F4A7C15ull), s1(seed + 1) {
-    for (int i = 0; i < 8; i++) next();
-  }
-  uint64_t next() {
-    uint64_t x = s0, y = s1;
-    s0 = y;
-    x ^= x << 23;
-    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
-    return s1 + y;
-  }
-  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
-};
 
 inline int32_t parse_dec(const char* p, const char* end) {
   if (p >= end || *p == '\0') return 0;
@@ -68,37 +57,49 @@ inline uint64_t parse_hex(const char* p, const char* end) {
 
 extern "C" {
 
-// Parses the whole file. Caller passes pre-allocated outputs sized for
-// `max_rows` rows (use fp_count_lines first). Returns rows written, or -1.
-long fp_parse_raw_tsv(const char* path, long max_rows, long max_ind_range,
-                      double sub_sample_rate, uint64_t seed,
-                      int32_t* y_out, int32_t* xint_out, int32_t* xcat_out) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  char* line = nullptr;
-  size_t cap = 0;
-  ssize_t len;
-  long n = 0;
-  Rng rng(seed);
-  while ((len = getline(&line, &cap, f)) >= 0 && n < max_rows) {
-    const char* end = line + len;
-    // split on tabs in place
+// splitmix64: per-LINE-INDEX sub-sampling decision, deterministic for a
+// given seed regardless of thread count / chunking
+inline double line_uniform(uint64_t seed, uint64_t line_idx) {
+  uint64_t z = seed ^ (line_idx * 0x9E3779B97F4A7C15ull);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+  z ^= z >> 31;
+  return (z >> 11) * (1.0 / 9007199254740992.0);
+}
+
+namespace {
+
+// Parse [lo, hi) (line-aligned) writing rows at out offset `row0`; returns
+// rows kept. One pointer pass per byte; fields beyond a short line are 0.
+long parse_chunk(const char* lo, const char* hi, uint64_t line0,
+                 long max_ind_range, double rate, uint64_t seed,
+                 int32_t* y_out, int32_t* xint_out, int32_t* xcat_out,
+                 long row0) {
+  long n = row0;
+  uint64_t line_idx = line0;
+  const char* p = lo;
+  while (p < hi) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(hi - p)));
+    const char* end = nl ? nl : hi;
     const char* fields[kTot];
     const char* fends[kTot];
     int nf = 0;
-    const char* p = line;
-    while (nf < kTot) {
-      fields[nf] = p;
-      const char* q = p;
-      while (q < end && *q != '\t' && *q != '\n') ++q;
-      fends[nf] = q;
+    const char* q = p;
+    while (nf < kTot && q <= end) {
+      fields[nf] = q;
+      const char* t = static_cast<const char*>(
+          memchr(q, '\t', static_cast<size_t>(end - q)));
+      if (!t) t = end;
+      fends[nf] = t;
       ++nf;
-      if (q >= end || *q == '\n') break;
-      p = q + 1;
+      q = t + 1;
+      if (t == end) break;
     }
+    p = nl ? nl + 1 : hi;
     int32_t target = nf > 0 ? parse_dec(fields[0], fends[0]) : 0;
-    if (target == 0 && sub_sample_rate > 0.0 && rng.uniform() < sub_sample_rate)
-      continue;
+    uint64_t li = line_idx++;
+    if (target == 0 && rate > 0.0 && line_uniform(seed, li) < rate) continue;
     y_out[n] = target;
     for (int j = 0; j < kDen; j++) {
       int k = 1 + j;
@@ -114,8 +115,107 @@ long fp_parse_raw_tsv(const char* path, long max_rows, long max_ind_range,
     }
     ++n;
   }
-  free(line);
-  fclose(f);
+  return n - row0;
+}
+
+inline long count_newlines(const char* lo, const char* hi) {
+  long c = 0;
+  const char* p = lo;
+  while ((p = static_cast<const char*>(
+              memchr(p, '\n', static_cast<size_t>(hi - p)))) != nullptr) {
+    ++c;
+    ++p;
+  }
+  return c;
+}
+
+}  // namespace
+
+// Parses the whole file: mmap + multi-threaded line-aligned chunks (the
+// reference needed Cython + a 24-process fan-out for Terabyte
+// preprocessing, data_utils.py:1096-1130; here threads share one mmap).
+// Caller passes pre-allocated outputs sized for `max_rows` rows (use
+// fp_count_lines first). Returns rows written, or -1.
+long fp_parse_raw_tsv(const char* path, long max_rows, long max_ind_range,
+                      double sub_sample_rate, uint64_t seed,
+                      int32_t* y_out, int32_t* xint_out, int32_t* xcat_out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+    close(fd);
+    return st.st_size == 0 ? 0 : -1;
+  }
+  size_t size = static_cast<size_t>(st.st_size);
+  char* base = static_cast<char*>(
+      mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0));
+  close(fd);
+  if (base == MAP_FAILED) return -1;
+  madvise(base, size, MADV_SEQUENTIAL);
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = static_cast<int>(std::max(1u, std::min(hw, 16u)));
+  if (size < (8u << 20)) nt = 1;
+  // line-aligned chunk boundaries
+  std::vector<const char*> bounds(nt + 1);
+  bounds[0] = base;
+  bounds[nt] = base + size;
+  for (int i = 1; i < nt; i++) {
+    const char* guess = base + size * static_cast<size_t>(i) / nt;
+    const char* nl = static_cast<const char*>(
+        memchr(guess, '\n', static_cast<size_t>(base + size - guess)));
+    bounds[i] = nl ? nl + 1 : base + size;
+  }
+  for (int i = 1; i <= nt; i++)
+    if (bounds[i] < bounds[i - 1]) bounds[i] = bounds[i - 1];
+
+  // phase 1: line counts per chunk -> global line/row offsets
+  std::vector<long> lines(nt, 0);
+  {
+    std::vector<std::thread> ts;
+    for (int i = 0; i < nt; i++)
+      ts.emplace_back([&, i] {
+        long c = count_newlines(bounds[i], bounds[i + 1]);
+        if (i == nt - 1 && size > 0 && base[size - 1] != '\n') c += 1;
+        lines[i] = c;
+      });
+    for (auto& t : ts) t.join();
+  }
+  std::vector<long> line0(nt + 1, 0);
+  for (int i = 0; i < nt; i++) line0[i + 1] = line0[i] + lines[i];
+  if (line0[nt] > max_rows) {
+    munmap(base, size);
+    return -1;  // caller under-allocated
+  }
+
+  // phase 2: parse chunks in parallel; rows land at LINE offsets (an upper
+  // bound when sub-sampling drops rows), kept counts recorded
+  std::vector<long> kept(nt, 0);
+  {
+    std::vector<std::thread> ts;
+    for (int i = 0; i < nt; i++)
+      ts.emplace_back([&, i] {
+        kept[i] = parse_chunk(bounds[i], bounds[i + 1],
+                              static_cast<uint64_t>(line0[i]), max_ind_range,
+                              sub_sample_rate, seed, y_out, xint_out,
+                              xcat_out, line0[i]);
+      });
+    for (auto& t : ts) t.join();
+  }
+
+  // phase 3: compact chunk regions (no-op unless sub-sampling dropped rows)
+  long n = kept[0];
+  for (int i = 1; i < nt; i++) {
+    if (n != line0[i] && kept[i] > 0) {
+      memmove(y_out + n, y_out + line0[i], sizeof(int32_t) * kept[i]);
+      memmove(xint_out + n * kDen, xint_out + line0[i] * kDen,
+              sizeof(int32_t) * kept[i] * kDen);
+      memmove(xcat_out + n * kSpa, xcat_out + line0[i] * kSpa,
+              sizeof(int32_t) * kept[i] * kSpa);
+    }
+    n += kept[i];
+  }
+  munmap(base, size);
   return n;
 }
 

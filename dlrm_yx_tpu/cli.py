@@ -285,6 +285,9 @@ def make_data(args, cfg):
                 args.raw_data_file, args.processed_data_file or None,
                 batch_size=args.mini_batch_size,
                 max_ind_range=args.max_ind_range,
+                shuffle_seed=(
+                    args.numpy_rand_seed if args.mlperf_bin_shuffle else None
+                ),
             )
             return train, (lambda: train)
         from dlrm_yx_tpu.data.criteo import CriteoNpzLoader
@@ -545,7 +548,9 @@ def _gather_params(cfg, trainer):
     else:
         from dlrm_yx_tpu.parallel.plan import extract_tables
 
-        tables = extract_tables(plan, cfg, emb)
+        tables = extract_tables(
+            plan, cfg, emb, np.asarray(trainer.params["emb_small"])
+        )
     import jax.numpy as _jnp
 
     params = {

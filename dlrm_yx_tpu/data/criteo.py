@@ -105,20 +105,24 @@ def parse_raw_tsv(
 def split_kaggle_train_txt(raw_path: str, days: int = 7) -> List[str]:
     """Split the single Kaggle train.txt into per-day text files of
     near-even line counts (the reference's day split,
-    data_utils.py:906-964). Returns the day file paths."""
-    with open(raw_path) as f:
-        lines = f.readlines()
-    total = len(lines)
+    data_utils.py:906-964). Returns the day file paths.
+
+    Streams in two passes at constant memory (Kaggle train.txt is ~11 GB,
+    Terabyte day files are far larger — a readlines() would need the whole
+    file in RSS; the reference also streams line-by-line with per-day
+    fan-out, data_utils.py:906-1130)."""
+    total = 0
+    with open(raw_path, "rb") as f:
+        for _ in f:
+            total += 1
     per = [total // days + (1 if i < total % days else 0) for i in range(days)]
     base = raw_path.rsplit(".", 1)[0]
-    out = []
-    pos = 0
-    for i, n in enumerate(per):
-        p = f"{base}_day_{i}.txt"
-        with open(p, "w") as f:
-            f.writelines(lines[pos : pos + n])
-        out.append(p)
-        pos += n
+    out = [f"{base}_day_{i}.txt" for i in range(days)]
+    with open(raw_path, "rb") as src:
+        for i, n in enumerate(per):
+            with open(out[i], "wb") as dst:
+                for _ in range(n):
+                    dst.write(src.readline())
     return out
 
 

@@ -63,6 +63,7 @@ class CriteoBinLoader:
         batch_size: int = 2048,
         max_ind_range: int = -1,
         use_native: bool = True,
+        shuffle_seed: Optional[int] = None,
     ):
         self.batch_size = batch_size
         self.max_ind_range = max_ind_range
@@ -70,6 +71,13 @@ class CriteoBinLoader:
         self.num_batches = math.ceil(os.path.getsize(data_file) / self.bytes_per_batch)
         self.data_file = data_file
         self.file = open(data_file, "rb")
+        # --mlperf-bin-shuffle: permute BATCH read order with a seeded RNG
+        # (the reference shuffles the bin loader's batch order,
+        # dlrm_data_pytorch.py:383-398); reshuffle(epoch) re-permutes
+        self._shuffle_seed = shuffle_seed
+        self._order = None
+        if shuffle_seed is not None:
+            self.reshuffle(0)
         self.counts = None
         if counts_file is not None:
             with np.load(counts_file) as d:
@@ -87,7 +95,14 @@ class CriteoBinLoader:
     def __len__(self):
         return self.num_batches
 
+    def reshuffle(self, epoch: int) -> None:
+        """New deterministic batch-order permutation for the given epoch."""
+        rng = np.random.RandomState((self._shuffle_seed or 0) + epoch)
+        self._order = rng.permutation(self.num_batches)
+
     def __getitem__(self, idx: int) -> Batch:
+        if self._order is not None:
+            idx = int(self._order[idx])
         if self._native is not None:
             y, xi, xc = self._native.read_bin_batch(
                 self.data_file, idx, self.batch_size, self.max_ind_range

@@ -42,7 +42,7 @@ def _build() -> Optional[ctypes.CDLL]:
             ):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     _SRC, "-o", _SO],
+                     "-pthread", _SRC, "-o", _SO],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_SO)

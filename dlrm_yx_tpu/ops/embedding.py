@@ -108,6 +108,19 @@ def unpack_store(arr, group: TableGroup):
     return arr.reshape(group.total_rows, group.dim)
 
 
+def _pad_l_sublane(gidx: jax.Array, w: jax.Array, fill_idx=0):
+    """Pad the L axis of [T, B, L] indices/weights to a multiple of 8
+    (zero weight, fill_idx rows) so downstream [t,b,l,width] <-> [K,width]
+    reshapes are layout-preserving bitcasts (sublane tiling pads l to 8)."""
+    l = gidx.shape[2]
+    pad = (-l) % 8
+    if pad == 0 or l == 1:
+        return gidx, w
+    gp = jnp.pad(gidx, ((0, 0), (0, 0), (0, pad)), constant_values=fill_idx)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+    return gp, wp
+
+
 def gather_rows(store: jax.Array, flat_gidx: jax.Array, group: TableGroup) -> jax.Array:
     """store rows at LOGICAL global ids -> [N, dim] (packed-aware)."""
     if group.pack == 1:
@@ -222,7 +235,30 @@ def lookup_group(
                 store, jnp.minimum(gidx, group.total_rows - 1), w,
                 dim=group.dim,
             )
-    rows = gather_rows(store, gidx.reshape(-1), group).reshape(
+    if group.pack > 1:
+        # stay 128-lane-wide: gather physical rows, mask each contribution
+        # to its lane block, pool, then fold blocks. A take_along_axis on a
+        # [N, pack, dim] view would force a T(pack,128)->T(8,128) relayout
+        # of the whole gather (profiled 19 ms at the L=100 bench shapes).
+        # L is padded to a sublane multiple so [t,b,l,128]<->[K,128]
+        # reshapes are bitcasts — at l=100 the (l,128) tiling pads l to
+        # 104, turning every such reshape into a materialized copy
+        # (~2.6 ms each at bench shapes).
+        gidx, w = _pad_l_sublane(gidx, w)
+        l8 = gidx.shape[2]
+        width = group.dim * group.pack
+        rows128 = jnp.take(store, gidx // group.pack, axis=0).astype(
+            jnp.float32
+        )  # [t,b,l8,width]
+        blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // group.dim
+        )
+        mask = blk[None, None, None, :] == (gidx % group.pack)[..., None]
+        pooled128 = jnp.sum(
+            jnp.where(mask, rows128, 0.0) * w[..., None], axis=2
+        )
+        return pooled128.reshape(t, b, group.pack, group.dim).sum(axis=2)
+    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(
         t, b, l, group.dim
     )
     if l == 1:
@@ -246,7 +282,13 @@ def flat_row_grads(
     yet coalesced — feed through coalesce_rows for non-linear optimizers,
     mirroring grad.coalesce() in /root/reference/optim/rwsadagrad.py:98).
 
-    Returns (flat_idx [T*B*L] int32 global row ids, flat_g [T*B*L, dim]).
+    Returns (flat_idx [T*B*L] int32 LOGICAL global row ids, flat_g
+    [T*B*L, dim*pack] PHYSICAL update rows — for packed groups each update
+    sits in its logical row's lane block, zeros elsewhere). Emitting the
+    128-lane physical rows directly keeps the big intermediate row-major:
+    a [K, dim] tensor at sub-128 dims gets a column-major layout from XLA
+    (to dodge lane padding) and then a chunked-transpose while-loop to feed
+    the scatter — profiled ~23 ms at the L=100 bench shapes.
     Padded entries (weight 0) keep their row id but contribute zero grad.
     """
     t, b, l = indices.shape
@@ -254,6 +296,20 @@ def flat_row_grads(
     w = weights
     if vw is not None:
         w = w * jnp.take(vw, gidx.reshape(-1)).reshape(t, b, l)
+    if group.pack > 1:
+        # one kLoop fusion in [t,b,l,width]; L padded to a sublane multiple
+        # so the trailing reshape to [K, width] is a bitcast (padding
+        # entries carry the sentinel id -> dropped by the scatter)
+        gidx, w = _pad_l_sublane(gidx, w, fill_idx=group.total_rows)
+        l8 = gidx.shape[2]
+        width = group.dim * group.pack
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // group.dim
+        mask = blk[None, None, None, :] == (gidx % group.pack)[..., None]
+        g128 = jnp.tile(g_pooled, (1, 1, group.pack))[:, :, None, :]
+        flat_g = jnp.where(mask, w[..., None] * g128, 0.0).reshape(
+            t * b * l8, width
+        )
+        return gidx.reshape(-1), flat_g
     flat_g = (w[..., None] * g_pooled[:, :, None, :]).reshape(t * b * l, group.dim)
     return gidx.reshape(-1), flat_g
 
@@ -271,7 +327,19 @@ def vw_row_grads(
     Returns (flat_idx [T*B*L], flat_g [T*B*L])."""
     t, b, l = indices.shape
     gidx = global_row_ids(group, indices)
-    rows = gather_rows(store, gidx.reshape(-1), group).reshape(
+    if group.pack > 1:
+        # <store[idx], g> without un-packing rows: mask the physical row to
+        # the target lane block and dot against the block-tiled cotangent
+        width = group.dim * group.pack
+        rows128 = jnp.take(store, gidx // group.pack, axis=0).astype(
+            jnp.float32
+        )
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // group.dim
+        mask = blk[None, None, None, :] == (gidx % group.pack)[..., None]
+        g128 = jnp.tile(g_pooled, (1, 1, group.pack))[:, :, None, :]
+        g = jnp.sum(jnp.where(mask, rows128 * g128, 0.0), axis=-1) * weights
+        return gidx.reshape(-1), g.reshape(-1)
+    rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(
         t, b, l, group.dim
     )
     g = jnp.sum(rows.astype(jnp.float32) * g_pooled[:, :, None, :], axis=-1) * weights

@@ -18,11 +18,16 @@ window are handled OUTSIDE the kernel, vectorized on the VPU:
   * masked/conflicted items are redirected to a dead sentinel row at the end
     of the store (ops/embedding.SENTINEL_ROWS) with a zero update — the
     races they could cause only ever rewrite the sentinel row;
-  * the (rare) conflicted items are then applied EXACTLY afterwards by a
-    short serialized loop over a fixed-size gathered buffer; if an
-    adversarial input overflows it, a cond falls back to the exact XLA
-    scatter for those items. Random indices into millions of rows conflict
-    ~0.5 times per step; tiny dup-heavy tables belong in small group stores
+  * the (rare) conflicted items are then applied EXACTLY by a SECOND,
+    fully serialized Pallas pass (read-wait-add-write-wait per flagged
+    item, skipping unflagged ones with a scalar branch). Keeping the tail
+    a kernel — not a lax.cond around XLA scatter — matters twofold: there
+    is no capacity limit (any conflict count is exact, just slower), and
+    the store buffer stays in-place through the whole chain; a conditional
+    holding the store forces XLA to copy the full store into each branch
+    (profiled 3x ~11 ms copies at bench scale under shard_map). Random
+    indices into millions of rows conflict ~0.5 times per step; tiny
+    dup-heavy tables belong in small group stores
     (ops/embedding.build_table_groups small_threshold) where XLA scatter is
     cheap and exactly coalescing.
 
@@ -67,7 +72,6 @@ LANES = 128
 W = 32          # in-flight read AND write window depth
 BK = 4096       # items per grid block
 WINDOW = 2 * W  # hazard look-back distance (items)
-CMAX = 256      # serialized-pass capacity for conflicted items
 
 
 def supports_dim(d: int) -> bool:
@@ -196,6 +200,69 @@ def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
         wait_write(s)
 
 
+TAIL_BLOCK = 256
+
+
+def _tail_kernel(bflag_ref, tid_ref, upd_hbm, store_ref, out_ref, rrow, urow,
+                 rsem, usem, wsem, *, kk: int, pk: int, k: int):
+    """Serialized exact pass for conflicted items. bflag_ref: SMEM
+    [k/TAIL_BLOCK] any-conflict-in-block flags (scanning all k items costs
+    ~15 ns/branch on the scalar core — 0.25 ms of pure idle at k=16k —
+    so clean blocks are skipped wholesale); tid_ref: SMEM [k] packed
+    (unit * pk + sub) target ids, -1 = skip; upd_hbm: ANY [k * kk, LANES]
+    f32 physical update rows; store/out aliased ANY. Each flagged item does
+    read -> wait -> add -> write -> wait, so duplicates serialize exactly."""
+    del store_ref
+
+    def item(i, _):
+        @pl.when(tid_ref[i] >= 0)
+        def _():
+            unit = tid_ref[i] // pk
+            pltpu.make_async_copy(
+                out_ref.at[pl.ds(unit * (pk * kk), pk * kk)], rrow, rsem
+            ).start()
+            pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(i * kk, kk)], urow, usem
+            ).start()
+            pltpu.make_async_copy(
+                out_ref.at[pl.ds(0, pk * kk)], rrow, rsem
+            ).wait()
+            pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(0, kk)], urow, usem
+            ).wait()
+            if pk == 1:
+                v = rrow[...].astype(jnp.float32) + urow[...]
+                new = v.astype(out_ref.dtype)
+            else:
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (pk, kk, LANES), 0)
+                    == tid_ref[i] % pk
+                )
+                delta = jnp.where(sel, urow[...][None], 0.0)
+                v = rrow[...].reshape(pk, kk, LANES).astype(jnp.float32) + delta
+                new = v.astype(out_ref.dtype).reshape(pk * kk, LANES)
+            rrow[...] = new
+            pltpu.make_async_copy(
+                rrow, out_ref.at[pl.ds(unit * (pk * kk), pk * kk)], wsem
+            ).start()
+            pltpu.make_async_copy(
+                rrow, out_ref.at[pl.ds(0, pk * kk)], wsem
+            ).wait()
+
+        return 0
+
+    def block(b, _):
+        @pl.when(bflag_ref[b] > 0)
+        def _():
+            jax.lax.fori_loop(
+                b * TAIL_BLOCK, jnp.minimum((b + 1) * TAIL_BLOCK, k), item, 0
+            )
+
+        return 0
+
+    jax.lax.fori_loop(0, pl.cdiv(k, TAIL_BLOCK), block, 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "stochastic_round", "dim")
 )
@@ -220,7 +287,11 @@ def sparse_rows_add(
       dead sentinel rows (ops/embedding.build_table_groups provisions
       them). Donate the buffer.
     idx: [K] int32 LOGICAL row ids in [0, R) (any value OK for inactive).
-    upd: [K, dim] float32 update rows (optimizer math pre-applied).
+    upd: float32 update rows (optimizer math pre-applied): [K, dim]
+      logical rows (lane-placed here), or — preferred for packed stores,
+      avoiding a second materialization — [K, store_width] PHYSICAL rows
+      with each update already in its logical row's lane block and zeros
+      elsewhere (the form ops/embedding.flat_row_grads emits).
     active: [K] int32/bool; 0 = skip (padding slots, dropped sentinels).
     Returns the updated store (same shape as the input, aliased buffer).
     """
@@ -258,17 +329,19 @@ def sparse_rows_add(
     sentinel_unit = r_phys // pk - 1
     main_unit = jnp.where(redirect, sentinel_unit, unit)
     sub = jnp.where(redirect, 0, (safe_idx // pack) % pk).astype(jnp.int32)
-    if pack == 1:
-        upd_w = upd
+    if pack == 1 or upd.shape[1] == width:
+        upd_w = upd  # already physical rows
     else:
         # lane-place each d-wide update into its block of the 128-lane row
+        # (tile+mask keeps it a 128-lane elementwise op; a [K, pack, d]
+        # one-hot view would force a relayout of the whole array)
         lsub = safe_idx % pack
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (k, pack), 1) == lsub[:, None]
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // d
+        upd_w = jnp.where(
+            blk[None, :] == lsub[:, None].astype(jnp.int32),
+            jnp.tile(upd, (1, pack)),
+            0.0,
         )
-        upd_w = (
-            jnp.where(onehot[:, :, None], upd[:, None, :], 0.0)
-        ).reshape(k, width)
     main_upd = jnp.where(redirect[:, None], 0.0, upd_w)
     phys_idx = main_unit.astype(jnp.int32)  # unit ids; kernel scales by pk*kk
 
@@ -310,40 +383,40 @@ def sparse_rows_add(
         jnp.asarray([seed], jnp.int32),
         phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys,
     )
-    out = out.reshape(r_phys, width)
-
-    # exact tail pass for the redirected (conflicted) items, applied on the
-    # physical rows (two conflicted items sharing one physical row are
-    # serialized by the fori_loop; lane blocks are disjoint per logical row)
-    nconf = jnp.sum(is_conf)
-    _, conf_pos = jax.lax.top_k(is_conf, min(CMAX, is_conf.shape[0]))
-    conf_act = jnp.take(is_conf, conf_pos)
-    conf_prow = jnp.where(
-        conf_act > 0, jnp.take(safe_idx, conf_pos) // pack, r_phys - 1
+    # exact serialized tail pass for the redirected (conflicted) items —
+    # a second in-place kernel, NOT a lax.cond (a conditional holding the
+    # store forces XLA to copy it into each branch; see module docstring).
+    # tid packs (physical unit, row-in-unit); -1 = skip.
+    k0 = idx.shape[0]
+    tid = jnp.where(
+        is_conf > 0,
+        (safe_idx // (pk * pack)) * pk + (safe_idx // pack) % pk,
+        -1,
+    ).astype(jnp.int32)
+    nblk = (k0 + TAIL_BLOCK - 1) // TAIL_BLOCK
+    conf_pad = jnp.pad(is_conf, (0, nblk * TAIL_BLOCK - k0))
+    bflag = jnp.max(conf_pad.reshape(nblk, TAIL_BLOCK), axis=1).astype(
+        jnp.int32
     )
-    conf_upd = jnp.take(upd_w[: idx.shape[0]], conf_pos, axis=0) * conf_act[
-        :, None
-    ]
-
-    def apply_seq(s):
-        def b(i, s):
-            row = conf_prow[i]
-            new_row = (
-                jax.lax.dynamic_index_in_dim(s, row, 0, False).astype(
-                    jnp.float32
-                )
-                + conf_upd[i]
-            ).astype(s.dtype)
-            return jax.lax.dynamic_update_index_in_dim(s, new_row, row, 0)
-
-        return jax.lax.fori_loop(0, jnp.minimum(nconf, CMAX), b, s)
-
-    def fallback(s):
-        # adversarial overflow: exact XLA scatter of ALL conflicted items
-        all_prow = jnp.where(is_conf > 0, safe_idx // pack, r_phys - 1)
-        return s.at[all_prow].add(
-            (upd_w[: idx.shape[0]] * is_conf[:, None]).astype(s.dtype),
-            mode="drop",
-        )
-
-    return jax.lax.cond(nconf <= CMAX, apply_seq, fallback, out)
+    upd_phys = upd_w[:k0].reshape(k0 * kk, LANES)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, kk=kk, pk=pk, k=k0),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((pk * kk, LANES), store.dtype),
+            pltpu.VMEM((kk, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(bflag, tid, upd_phys, out)
+    return out.reshape(r_phys, width)

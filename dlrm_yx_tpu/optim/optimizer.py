@@ -54,6 +54,12 @@ def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -
         k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
         for k in ("bot", "top")
     }
+    if len(groups) != len(params["emb"]):
+        raise ValueError(
+            f"{len(groups)} groups vs {len(params['emb'])} emb stores — "
+            "pass the same groups the params were built with "
+            "(models.dlrm.model_groups(cfg))"
+        )
     if opt.name == "adagrad":
         emb = [jnp.zeros(e.shape, jnp.float32) for e in params["emb"]]
     else:  # rwsadagrad: one accumulator per LOGICAL row (stores may be
@@ -137,30 +143,6 @@ def _store_bytes(store: jax.Array) -> int:
     return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
 
 
-def _expand_lanes(flat_g: jax.Array, lsub: jax.Array, pack: int) -> jax.Array:
-    """[K, d] update rows -> [K, d*pack] physical rows with each update
-    placed in its logical row's lane block (zeros elsewhere)."""
-    if pack == 1:
-        return flat_g
-    k, d = flat_g.shape
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, pack), 1)
-        == lsub[:, None].astype(jnp.int32)
-    )
-    return jnp.where(onehot[:, :, None], flat_g[:, None, :], 0.0).reshape(
-        k, d * pack
-    )
-
-
-def _gather_fill(arr: jax.Array, idx: jax.Array, d: int, pack: int, fill=1.0):
-    """arr rows at LOGICAL ids -> [K, d] (packed-aware; OOB ids -> fill)."""
-    if pack == 1:
-        return jnp.take(arr, idx, axis=0, mode="fill", fill_value=fill)
-    rows = jnp.take(arr, idx // pack, axis=0, mode="fill", fill_value=fill)
-    sub = (idx % pack).astype(jnp.int32)
-    return jnp.take_along_axis(
-        rows.reshape(-1, pack, d), sub[:, None, None], axis=1
-    )[:, 0]
 
 
 def sparse_update(
@@ -184,7 +166,11 @@ def sparse_update(
     store: [R, D] natural layout, or the packed [R/pack, dim*pack] layout
     for sub-128 dims (pass dim = logical row width; see ops/embedding.py);
     flat_idx: [K] LOGICAL row ids (duplicates allowed, sentinel = R for
-    padding); flat_g: [K, dim] gradient contributions.
+    padding); flat_g: [K, store_width] PHYSICAL gradient rows — for packed
+    stores each contribution is lane-placed in its logical row's block with
+    zeros elsewhere (ops/embedding.flat_row_grads emits this form), which
+    keeps every op here a 128-lane-wide elementwise/scatter op: per-row
+    optimizer math works because the off-block lanes are zero.
 
     row_dim: optional [R] float32 of each row's TRUE embedding dim, for
     stores holding zero-padded mixed-dim (MD) tables — rwsadagrad's per-row
@@ -243,7 +229,15 @@ def sparse_update(
                 acc, flat_idx, flat_g * flat_g, active, interpret=interpret,
                 dim=d,
             )
-            denom = jnp.sqrt(_gather_fill(acc, safe, d, pack)) + opt.eps
+            # physical-row gather: off-block lanes divide zeros -> harmless
+            denom = (
+                jnp.sqrt(
+                    jnp.take(
+                        acc, safe // pack, axis=0, mode="fill", fill_value=1.0
+                    )
+                )
+                + opt.eps
+            )
             return (
                 psu.sparse_rows_add(
                     store, flat_idx, -lr * flat_g / denom, active,
@@ -253,9 +247,11 @@ def sparse_update(
                 acc,
             )
         # rwsadagrad: 1-D per-LOGICAL-row momentum — the [R] scatter is a
-        # cheap full rewrite (4 bytes/row), no kernel needed
+        # cheap full rewrite (4 bytes/row), no kernel needed. Off-block
+        # lanes are zero, so the sum over the physical width IS the sum
+        # over the logical row; normalize by the LOGICAL dim.
         if row_dim is None:
-            mom_inc = jnp.mean(flat_g * flat_g, axis=-1) * active
+            mom_inc = (jnp.sum(flat_g * flat_g, axis=-1) / d) * active
         else:
             mom_inc = (
                 jnp.sum(flat_g * flat_g, axis=-1)
@@ -278,9 +274,8 @@ def sparse_update(
     if opt.name == "sgd":
         # linear update: scatter-add handles duplicates exactly (lane
         # blocks of logical rows sharing a physical row are disjoint)
-        upd_w = _expand_lanes(-lr * flat_g, flat_idx % pack, pack)
         return (
-            store.at[punit].add(upd_w.astype(store.dtype), mode="drop"),
+            store.at[punit].add((-lr * flat_g).astype(store.dtype), mode="drop"),
             acc,
         )
 
@@ -299,7 +294,7 @@ def sparse_update(
         dense_g = (
             jnp.zeros(store.shape, jnp.float32)
             .at[punit]
-            .add(_expand_lanes(flat_g, flat_idx % pack, pack), mode="drop")
+            .add(flat_g, mode="drop")
         )
         if opt.name == "adagrad":
             acc = acc + dense_g * dense_g
@@ -322,19 +317,21 @@ def sparse_update(
         )
         return upd.astype(store.dtype), acc
 
+    # coalescing operates on LOGICAL ids with PHYSICAL rows: contributions
+    # of one logical row share a lane block, so their sums coincide
     uniq, sg = coalesce_rows(flat_idx, flat_g, sentinel)
     puniq = uniq // pack if pack > 1 else uniq
     if opt.name == "adagrad":
-        acc = acc.at[puniq].add(
-            _expand_lanes(sg * sg, uniq % pack, pack), mode="drop"
+        acc = acc.at[puniq].add(sg * sg, mode="drop")
+        denom = (
+            jnp.sqrt(
+                jnp.take(acc, puniq, axis=0, mode="fill", fill_value=1.0)
+            )
+            + opt.eps
         )
-        denom = jnp.sqrt(_gather_fill(acc, uniq, d, pack)) + opt.eps
         return (
             store.at[puniq].add(
-                _expand_lanes(-lr * sg / denom, uniq % pack, pack).astype(
-                    store.dtype
-                ),
-                mode="drop",
+                (-lr * sg / denom).astype(store.dtype), mode="drop"
             ),
             acc,
         )
@@ -342,7 +339,7 @@ def sparse_update(
     # rwsadagrad: row momentum += mean(g^2 over dim); update rows by
     # g / (sqrt(momentum_new) + eps)  (rwsadagrad.py:108-115)
     if row_dim is None:
-        mom_inc = jnp.mean(sg * sg, axis=-1)
+        mom_inc = jnp.sum(sg * sg, axis=-1) / d
     else:
         mom_inc = jnp.sum(sg * sg, axis=-1) / jnp.take(
             row_dim, uniq, mode="fill", fill_value=1.0
@@ -351,10 +348,7 @@ def sparse_update(
     denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
     return (
         store.at[puniq].add(
-            _expand_lanes(-lr * sg / denom[:, None], uniq % pack, pack).astype(
-                store.dtype
-            ),
-            mode="drop",
+            (-lr * sg / denom[:, None]).astype(store.dtype), mode="drop"
         ),
         acc,
     )

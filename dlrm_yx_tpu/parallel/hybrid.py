@@ -13,8 +13,12 @@ This is the TPU-native rebuild of the reference's two multi-device paths
 TPU-native shape of the same contract (SURVEY.md §2.4 "hybrid-parallel
 semantics to preserve"):
   * one ``shard_map`` over mesh axes ("data", "model");
-  * tables sharded over "model" as one flat [n_model, r_pad, dim] array
-    (whole-table placement from parallel/sharders.py);
+  * tables sharded over "model" as TWO flat arrays per shard — big tables
+    in [n_model, r_big_pad, dim] (updated by the pallas row-RMW kernel)
+    and small tables in a separate [n_model, r_small_pad, dim] (updated by
+    an exact full-array dense accumulate; a single combined store would
+    pay a full-store dynamic-update-slice copy for the small section every
+    step) — whole-table placement from parallel/sharders.py;
   * batch sharded over "data" for lookups and over ("data","model") for the
     dense towers;
   * the exchange is ``jax.lax.all_to_all`` — XLA schedules it
@@ -60,7 +64,7 @@ def init_hybrid_params(
     config: DLRMConfig, plan: ShardingPlan, seed: int = 123
 ) -> Dict:
     """Same draws as init_dlrm (identical dense params and per-table weights)
-    but with tables assembled into the [n_model, r_pad, dim] sharded layout.
+    but with tables assembled into the sharded big/small two-store layout.
     QR tables (qr_flag) contribute their quotient store to the sharded array
     and their remainder store to the replicated flat ``qr_r`` array."""
     from dlrm_yx_tpu.models.dlrm import qr_specs
@@ -100,28 +104,34 @@ def init_hybrid_params(
             )
             for t in config.md_table_ids
         ]
-    emb = build_sharded_emb(plan, config, per_table)
+    emb_big, emb_small = build_sharded_emb(plan, config, per_table)
     from dlrm_yx_tpu.ops.mlp import init_mlp
 
-    vw = None
+    vw = vw_small = None
     if config.weighted_pooling is not None:
         if config.qr_table_ids:
             raise NotImplementedError("weighted pooling with QR tables")
         # v_W = ones per real row (dlrm_s_pytorch.py:313-316), zero padding
-        vw = np.zeros((plan.n_model, plan.r_pad), np.float32)
+        vw = np.zeros((plan.n_model, plan.r_big_pad), np.float32)
+        vw_small = np.zeros((plan.n_model, plan.r_small_pad), np.float32)
         for pos, tt in enumerate(plan.device_table_order):
             if tt < 0:
                 continue
             dsh = pos // plan.t_pad
             off = plan.row_offsets[pos]
-            vw[dsh, off : off + config.emb_rows[tt]] = 1.0
+            dst = vw if pos % plan.t_pad < plan.n_big_slots else vw_small
+            dst[dsh, off : off + config.emb_rows[tt]] = 1.0
         vw = jnp.asarray(vw)
+        vw_small = jnp.asarray(vw_small)
     params = {
         "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
         "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
-        "emb": jnp.asarray(emb),
+        "emb": jnp.asarray(emb_big),
+        "emb_small": jnp.asarray(emb_small),
         "vw": vw,
     }
+    if vw_small is not None:
+        params["vw_small"] = vw_small
     if qr_r is not None:
         params["qr_r"] = jnp.asarray(qr_r)
     if md_proj is not None:
@@ -136,14 +146,21 @@ def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
         k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
         for k in ("bot", "top")
     }
-    emb = params["emb"]
-    if opt.name == "adagrad":
-        acc = jnp.zeros_like(emb)
-    else:  # rwsadagrad: per-row
-        acc = jnp.zeros(emb.shape[:2], jnp.float32)
-    state = {"dense": dense, "emb": acc}
+    def emb_acc(e):
+        return (
+            jnp.zeros_like(e)
+            if opt.name == "adagrad"
+            else jnp.zeros(e.shape[:2], jnp.float32)  # rwsadagrad: per-row
+        )
+
+    state = {
+        "dense": dense,
+        "emb": emb_acc(params["emb"]),
+        "emb_small": emb_acc(params["emb_small"]),
+    }
     if params.get("vw") is not None:
         state["vw"] = jnp.zeros_like(params["vw"])
+        state["vw_small"] = jnp.zeros_like(params["vw_small"])
     if "md_proj" in params:
         state["md_proj"] = [jnp.zeros_like(w) for w in params["md_proj"]]
     if "qr_r" in params:
@@ -159,6 +176,9 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     """device_put params/opt_state with their hybrid shardings."""
     p = dict(params)
     p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    p["emb_small"] = jax.device_put(
+        params["emb_small"], NamedSharding(mesh, P("model"))
+    )
     for k in ("bot", "top"):
         p[k] = [
             tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -166,6 +186,9 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
         ]
     if params.get("vw") is not None:
         p["vw"] = jax.device_put(params["vw"], NamedSharding(mesh, P("model")))
+        p["vw_small"] = jax.device_put(
+            params["vw_small"], NamedSharding(mesh, P("model"))
+        )
     if "qr_r" in params:  # replicated remainder stores
         p["qr_r"] = jax.device_put(params["qr_r"], NamedSharding(mesh, P()))
     if "md_proj" in params:  # replicated up-projections
@@ -175,6 +198,9 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     s = dict(opt_state)
     if opt.name != "sgd":
         s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        s["emb_small"] = jax.device_put(
+            opt_state["emb_small"], NamedSharding(mesh, P("model"))
+        )
         s["dense"] = {
             k: [
                 tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -184,6 +210,9 @@ def shard_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
         }
         if "vw" in opt_state:
             s["vw"] = jax.device_put(opt_state["vw"], NamedSharding(mesh, P("model")))
+            s["vw_small"] = jax.device_put(
+                opt_state["vw_small"], NamedSharding(mesh, P("model"))
+            )
         if "qr_r" in opt_state:
             s["qr_r"] = jax.device_put(opt_state["qr_r"], NamedSharding(mesh, P()))
         if "md_proj" in opt_state:
@@ -298,41 +327,59 @@ def make_hybrid_train_step(
     (params, opt_state, loss). ``batch`` must be device-major arranged
     (parallel.plan.arrange_sparse_inputs) and sharded (shard_batch)."""
     n_model = plan.n_model
+    nb = plan.n_big_slots
+    ns_slots = plan.t_pad - nb
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
     coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
     roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
     has_qr = plan.qr_r_rows > 0
-    # per-row true dims (MD zero-padded columns) for rwsadagrad momentum
-    row_dim_all = None
+    # per-row true dims (MD zero-padded columns) for rwsadagrad momentum,
+    # one array per store section
+    row_dim_big_all = row_dim_small_all = None
     if config.md_table_ids and opt.name == "rwsadagrad":
         import numpy as _np
 
         qr_ids = set(config.qr_table_ids)
         c = config.qr_collisions
-        row_dim_all = _np.full((n_model, plan.r_pad), float(plan.dim), _np.float32)
+        row_dim_big_all = _np.full(
+            (n_model, plan.r_big_pad), float(plan.dim), _np.float32
+        )
+        row_dim_small_all = _np.full(
+            (n_model, plan.r_small_pad), float(plan.dim), _np.float32
+        )
         for pos, tt in enumerate(plan.device_table_order):
             if tt < 0:
                 continue
             dsh = pos // plan.t_pad
             off = plan.row_offsets[pos]
+            dst = (
+                row_dim_big_all
+                if pos % plan.t_pad < nb
+                else row_dim_small_all
+            )
             nrows = (
                 int(_np.ceil(config.emb_rows[tt] / c))
                 if tt in qr_ids
                 else config.emb_rows[tt]
             )
-            row_dim_all[dsh, off : off + nrows] = float(config.emb_dims[tt])
+            dst[dsh, off : off + nrows] = float(config.emb_dims[tt])
 
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         m = jax.lax.axis_index("model")
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
-        store = params["emb"][0]  # local shard [r_pad, dim]
-        acc = opt_state["emb"][0] if opt.name != "sgd" else None
-        row_dim = None
-        if row_dim_all is not None:
-            row_dim = jax.lax.dynamic_index_in_dim(
-                jnp.asarray(row_dim_all), m, 0, keepdims=False
+        store_b = params["emb"][0]        # big-table shard [r_big_pad, dim]
+        store_s = params["emb_small"][0]  # small-table shard [r_small_pad, dim]
+        acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
+        acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
+        row_dim_b = row_dim_s = None
+        if row_dim_big_all is not None:
+            row_dim_b = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(row_dim_big_all), m, 0, keepdims=False
+            )
+            row_dim_s = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(row_dim_small_all), m, 0, keepdims=False
             )
         r_store = params.get("qr_r") if has_qr else None
         coll = roff = None
@@ -344,12 +391,49 @@ def make_hybrid_train_step(
                 jnp.asarray(roff_all), m, 0, keepdims=False
             )
 
-        vw = params.get("vw")
-        vw = vw[0] if vw is not None else None
-        pooled, gidx, q_rows, r_pack, is_qr = _local_lookup(
-            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
-            r_store, coll, roff, config.qr_operation, vw,
-        )
+        vw_b = params.get("vw")
+        vw_b = vw_b[0] if vw_b is not None else None
+        vw_s = params.get("vw_small")
+        vw_s = vw_s[0] if vw_s is not None else None
+        # per-section lookups: slots [0, nb) on the big store, the rest on
+        # the small store; slot order matches device_table_order so the
+        # concatenated pooled tensor feeds the same all-to-all + gather
+        parts = []
+        if nb > 0:
+            parts.append(_local_lookup(
+                store_b, offs[:nb], batch.indices[:nb], batch.weights[:nb],
+                plan.r_big_pad, plan.dim, r_store,
+                coll[:nb] if coll is not None else None,
+                roff[:nb] if roff is not None else None,
+                config.qr_operation, vw_b,
+            ))
+        if ns_slots > 0:
+            parts.append(_local_lookup(
+                store_s, offs[nb:], batch.indices[nb:], batch.weights[nb:],
+                plan.r_small_pad, plan.dim, r_store,
+                coll[nb:] if coll is not None else None,
+                roff[nb:] if roff is not None else None,
+                config.qr_operation, vw_s,
+            ))
+
+        def _cat(i):
+            vals = [p[i] for p in parts]
+            return vals[0] if len(vals) == 1 else jnp.concatenate(vals, 0)
+
+        pooled = _cat(0)
+        gidx_b = parts[0][1] if nb > 0 else None
+        gidx_s = parts[-1][1] if ns_slots > 0 else None
+        q_rows = _cat(2)
+        if has_qr:
+            r_pack = (
+                _cat(3) if len(parts) == 1 else (
+                    jnp.concatenate([p[3][0] for p in parts], 0),
+                    jnp.concatenate([p[3][1] for p in parts], 0),
+                )
+            )
+            is_qr = _cat(4)
+        else:
+            r_pack = is_qr = None
 
         n_total = mesh.shape["data"] * mesh.shape["model"]
         bsz_global = (
@@ -412,10 +496,27 @@ def make_hybrid_train_step(
         # ----- sparse updates: gather full-batch row grads over "data" -----
         t, bd, l = batch.indices.shape
         w_eff = batch.weights
-        if vw is not None:
-            safe_rows = jnp.minimum(gidx, plan.r_pad - 1)
-            vw_vals = jnp.take(vw, safe_rows.reshape(-1)).reshape(t, bd, l)
-            w_eff = w_eff * vw_vals
+        if vw_b is not None:
+            parts_w = []
+            if nb > 0:
+                safe_b = jnp.minimum(gidx_b, plan.r_big_pad - 1)
+                parts_w.append(
+                    batch.weights[:nb]
+                    * jnp.take(vw_b, safe_b.reshape(-1)).reshape(nb, bd, l)
+                )
+            if ns_slots > 0:
+                safe_s = jnp.minimum(gidx_s, plan.r_small_pad - 1)
+                parts_w.append(
+                    batch.weights[nb:]
+                    * jnp.take(vw_s, safe_s.reshape(-1)).reshape(
+                        ns_slots, bd, l
+                    )
+                )
+            w_eff = (
+                parts_w[0]
+                if len(parts_w) == 1
+                else jnp.concatenate(parts_w, 0)
+            )
         w_g = w_eff[..., None] * g_pooled[:, :, None, :]  # [t,bd,l,dim]
         if has_qr:
             # chain rule through the per-sample combine: d/dQ (Q*R) = R,
@@ -430,7 +531,7 @@ def make_hybrid_train_step(
             w_g = w_g * gq_fac
             ridx_flat = r_pack[0].reshape(t * bd * l)
             gr_flat = gr.reshape(t * bd * l, plan.dim)
-            dense_gr = jnp.zeros((plan.qr_r_rows, plan.dim), store.dtype).at[
+            dense_gr = jnp.zeros((plan.qr_r_rows, plan.dim), store_b.dtype).at[
                 ridx_flat
             ].add(gr_flat, mode="drop")
             dense_gr = jax.lax.psum(dense_gr, ("data", "model"))
@@ -450,97 +551,91 @@ def make_hybrid_train_step(
                     jnp.sqrt(acc_r) + opt.eps
                 )[:, None]
         interp = jax.default_backend() != "tpu"
-        use_partition = (
-            config.sparse_update_impl == "pallas" and plan.r_small > 0
-        )
 
-        def gathered(slot_lo, slot_hi):
-            fi = gidx[slot_lo:slot_hi].reshape(-1)
+        def gathered(slot_lo, slot_hi, gidx_sec):
+            fi = gidx_sec.reshape(-1)
             fg = w_g[slot_lo:slot_hi].reshape(-1, plan.dim)
             return (
                 jax.lax.all_gather(fi, "data", tiled=True),
                 jax.lax.all_gather(fg, "data", tiled=True),
             )
 
-        if not use_partition:
-            flat_idx, flat_g = gathered(0, t)
-            store2, acc2 = sparse_update(
-                opt, store, acc, flat_idx, flat_g, lr, plan.r_pad,
+        # big tables through the configured impl (the pallas row-RMW kernel
+        # when sparse_update_impl='pallas')
+        if nb > 0:
+            idx_bf, g_bf = gathered(0, nb, gidx_b)
+            store_b2, acc_b2 = sparse_update(
+                opt, store_b, acc_b, idx_bf, g_bf, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
-                row_dim=row_dim,
+                row_dim=row_dim_b,
             )
         else:
-            # big tables (slots [0, n_big_slots), rows [0, r_big)) through
-            # the row-RMW kernel; small tables (rows [r_big, r_big+r_small))
-            # through exact dense accumulation on the slice — mirrors the
-            # single-device small/large group split
-            nb = plan.n_big_slots
-            if nb > 0:
-                idx_b, g_b = gathered(0, nb)
-                store2, acc2 = sparse_update(
-                    opt, store, acc, idx_b, g_b, lr, plan.r_pad,
-                    impl="pallas", interpret=interp, row_dim=row_dim,
-                )
-            else:
-                store2, acc2 = store, acc
-            idx_s, g_s = gathered(nb, t)
-            lo, ns = plan.r_big, plan.r_small
-            local = idx_s - lo
-            valid = (local >= 0) & (local < ns)
-            slot = jnp.where(valid, local, ns)
-            dense_g = jnp.zeros((ns, plan.dim), store.dtype).at[slot].add(
-                g_s, mode="drop"
+            store_b2, acc_b2 = store_b, acc_b
+        # small tables: exact dense accumulation over the whole (separate)
+        # small store — a full-array elementwise rewrite, never a
+        # dynamic-update-slice copy of the big store (size_class=0 forces
+        # the coalescing-exact dense path)
+        if ns_slots > 0:
+            idx_sf, g_sf = gathered(nb, t, gidx_s)
+            store_s2, acc_s2 = sparse_update(
+                opt, store_s, acc_s, idx_sf, g_sf, lr, plan.r_small_pad,
+                impl="xla", interpret=interp, row_dim=row_dim_s,
+                size_class=0,
             )
-            if opt.name == "sgd":
-                store2 = store2.at[lo : lo + ns].add(-lr * dense_g)
-            elif opt.name == "adagrad":
-                acc_sl = acc2[lo : lo + ns] + dense_g * dense_g
-                acc2 = acc2.at[lo : lo + ns].set(acc_sl)
-                store2 = store2.at[lo : lo + ns].add(
-                    -lr * dense_g / (jnp.sqrt(acc_sl) + opt.eps)
-                )
-            else:  # rwsadagrad
-                if row_dim is None:
-                    mom = jnp.mean(dense_g * dense_g, axis=-1)
-                else:
-                    mom = jnp.sum(dense_g * dense_g, axis=-1) / row_dim[lo : lo + ns]
-                acc_sl = acc2[lo : lo + ns] + mom
-                acc2 = acc2.at[lo : lo + ns].set(acc_sl)
-                store2 = store2.at[lo : lo + ns].add(
-                    -lr * dense_g / (jnp.sqrt(acc_sl) + opt.eps)[:, None]
-                )
-        new_params["emb"] = store2[None]
+        else:
+            store_s2, acc_s2 = store_s, acc_s
+        new_params["emb"] = store_b2[None]
+        new_params["emb_small"] = store_s2[None]
         if opt.name != "sgd":
-            new_state["emb"] = acc2[None]
-        if vw is not None and config.weighted_pooling == "learned":
+            new_state["emb"] = acc_b2[None]
+            new_state["emb_small"] = acc_s2[None]
+        if vw_b is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_pooled, store[row]>
-            gv = (
-                jnp.sum(q_rows * g_pooled[:, :, None, :], axis=-1)
-                * batch.weights
-            ).reshape(t * bd * l)
-            vidx = jnp.minimum(gidx, plan.r_pad - 1).reshape(t * bd * l)
-            vidx = jnp.where(
-                gidx.reshape(-1) < plan.r_pad, vidx, plan.r_pad
-            )
-            vidx = jax.lax.all_gather(vidx, "data", tiled=True)
-            gv = jax.lax.all_gather(gv, "data", tiled=True)
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
 
-            vacc = opt_state["vw"][0] if opt.name != "sgd" else None
-            vw2, vacc2 = sparse_update_1d(
-                opt, vw, vacc, vidx, gv, lr, plan.r_pad
-            )
-            new_params["vw"] = vw2[None]
-            if opt.name != "sgd":
-                new_state["vw"] = vacc2[None]
+            gv_all = jnp.sum(q_rows * g_pooled[:, :, None, :], axis=-1) * batch.weights
+
+            def vw_section(vw_sec, vacc_sec, gidx_sec, gv_sec, bound):
+                vidx = jnp.where(
+                    gidx_sec.reshape(-1) < bound,
+                    jnp.minimum(gidx_sec, bound - 1).reshape(-1),
+                    bound,
+                )
+                vidx = jax.lax.all_gather(vidx, "data", tiled=True)
+                gv = jax.lax.all_gather(gv_sec.reshape(-1), "data", tiled=True)
+                return sparse_update_1d(
+                    opt, vw_sec, vacc_sec, vidx, gv, lr, bound
+                )
+
+            if nb > 0:
+                vacc = opt_state["vw"][0] if opt.name != "sgd" else None
+                vw_b2, vacc_b2 = vw_section(
+                    vw_b, vacc, gidx_b, gv_all[:nb], plan.r_big_pad
+                )
+                new_params["vw"] = vw_b2[None]
+                if opt.name != "sgd":
+                    new_state["vw"] = vacc_b2[None]
+            if ns_slots > 0:
+                vacc = (
+                    opt_state["vw_small"][0] if opt.name != "sgd" else None
+                )
+                vw_s2, vacc_s2 = vw_section(
+                    vw_s, vacc, gidx_s, gv_all[nb:], plan.r_small_pad
+                )
+                new_params["vw_small"] = vw_s2[None]
+                if opt.name != "sgd":
+                    new_state["vw_small"] = vacc_s2[None]
         return new_params, new_state, loss
 
     pspecs = {
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
+        "emb_small": P("model"),
         "vw": P("model") if config.weighted_pooling is not None else None,
     }
+    if config.weighted_pooling is not None:
+        pspecs["vw_small"] = P("model")
     if has_qr:
         pspecs["qr_r"] = P()
     if config.md_table_ids:
@@ -554,8 +649,9 @@ def make_hybrid_train_step(
                 "top": [(P(), P())] * (len(config.ln_top) - 1),
             },
             "emb": P("model"),
+            "emb_small": P("model"),
             **(
-                {"vw": P("model")}
+                {"vw": P("model"), "vw_small": P("model")}
                 if config.weighted_pooling == "learned"
                 else {}
             ),
@@ -648,6 +744,8 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     re-assembled across the mesh (the reference's eval all_gather,
     dlrm_s_pytorch.py:1067-1069 — here just an out_spec)."""
     n_model = plan.n_model
+    nb = plan.n_big_slots
+    ns_slots = plan.t_pad - nb
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
     coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
@@ -657,7 +755,6 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     def local_eval(params, batch):
         m = jax.lax.axis_index("model")
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
-        store = params["emb"][0]
         r_store = params.get("qr_r") if has_qr else None
         coll = roff = None
         if has_qr:
@@ -667,12 +764,28 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
             roff = jax.lax.dynamic_index_in_dim(
                 jnp.asarray(roff_all), m, 0, keepdims=False
             )
-        vw = params.get("vw")
-        vw = vw[0] if vw is not None else None
-        pooled, _, _, _, _ = _local_lookup(
-            store, offs, batch.indices, batch.weights, plan.r_pad, plan.dim,
-            r_store, coll, roff, config.qr_operation, vw,
-        )
+        vw_b = params.get("vw")
+        vw_b = vw_b[0] if vw_b is not None else None
+        vw_s = params.get("vw_small")
+        vw_s = vw_s[0] if vw_s is not None else None
+        parts = []
+        if nb > 0:
+            parts.append(_local_lookup(
+                params["emb"][0], offs[:nb], batch.indices[:nb],
+                batch.weights[:nb], plan.r_big_pad, plan.dim, r_store,
+                coll[:nb] if coll is not None else None,
+                roff[:nb] if roff is not None else None,
+                config.qr_operation, vw_b,
+            )[0])
+        if ns_slots > 0:
+            parts.append(_local_lookup(
+                params["emb_small"][0], offs[nb:], batch.indices[nb:],
+                batch.weights[nb:], plan.r_small_pad, plan.dim, r_store,
+                coll[nb:] if coll is not None else None,
+                roff[nb:] if roff is not None else None,
+                config.qr_operation, vw_s,
+            )[0])
+        pooled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         ly_ex = jax.lax.all_to_all(
             pooled, "model", split_axis=1, concat_axis=0, tiled=True
         )
@@ -696,8 +809,11 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
+        "emb_small": P("model"),
         "vw": P("model") if config.weighted_pooling is not None else None,
     }
+    if config.weighted_pooling is not None:
+        pspecs["vw_small"] = P("model")
     if has_qr:
         pspecs["qr_r"] = P()
     if config.md_table_ids:

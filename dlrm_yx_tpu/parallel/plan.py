@@ -43,9 +43,9 @@ class ShardingPlan:
     canonical_gather: [T] position of canonical table t in device-major order
       (applied after the all-to-all to restore canonical feature order).
     row_offsets: [n_model * t_pad] start row of each device-major table slot
-      inside its shard's flat store; padding slots point at r_pad (the
-      sentinel row, dropped by scatter updates).
-    r_pad: rows per shard store (max over shards, aligned).
+      inside its SECTION's store (big slots index the big store, small slots
+      the small store); padding slots point past their section's live rows
+      (clamped to the dead sentinel row on gather, dropped on scatter).
     """
 
     n_model: int
@@ -54,16 +54,28 @@ class ShardingPlan:
     device_table_order: Tuple[int, ...]
     canonical_gather: Tuple[int, ...]
     row_offsets: Tuple[int, ...]
-    r_pad: int
     dim: int
     # big/small partition (uniform across shards, so shard_map code can
     # statically split slots): slots [0, n_big_slots) hold big tables (or
-    # padding), rows [0, r_big) hold them; slots/rows after hold small
-    # tables. Small tables are updated by exact dense accumulation, big
-    # tables by the pallas row-RMW kernel (sparse_update_impl='pallas').
+    # padding) living in the BIG store [r_big + SENTINEL_ROWS, dim]; slots
+    # after hold small tables living in a SEPARATE small store
+    # [r_small + SENTINEL_ROWS, dim]. Separate arrays keep the small-table
+    # dense-accumulate update a full-array elementwise rewrite of the SMALL
+    # store only — one array would cost a full-store dynamic-update-slice
+    # copy per step (profiled ~0.9 ms at bench scale). Big tables update
+    # through the pallas row-RMW kernel (sparse_update_impl='pallas').
     n_big_slots: int = 0
     r_big: int = 0
     r_small: int = 0
+
+    @property
+    def r_big_pad(self) -> int:
+        """Rows of the big store (live rows + dead sentinel unit)."""
+        return self.r_big + SENTINEL_ROWS
+
+    @property
+    def r_small_pad(self) -> int:
+        return self.r_small + SENTINEL_ROWS
     # QR compression (qr_flag): the QUOTIENT store of a QR table is sharded
     # like a normal table (the planner sees q_rows); the tiny REMAINDER
     # stores are replicated on every shard as one flat [qr_r_rows, dim]
@@ -129,7 +141,8 @@ def make_plan(
     per_big: List[List[int]] = [[] for _ in range(n_model)]
     per_small: List[List[int]] = [[] for _ in range(n_model)]
     for t, d in enumerate(table_device):
-        (per_big if thr and rows[t] > thr else per_small)[d].append(t)
+        # threshold disabled -> everything "big" (kernel-eligible)
+        (per_small if thr and rows[t] <= thr else per_big)[d].append(t)
     n_big_slots = max(len(ts) for ts in per_big)
     n_small_slots = max(len(ts) for ts in per_small)
     t_pad = n_big_slots + n_small_slots
@@ -148,10 +161,7 @@ def make_plan(
         return out, extent
 
     big_offsets, r_big = layout(per_big, 0)
-    small_offsets, r_small = layout(per_small, r_big)
-    # + dead sentinel rows at the end of every shard store: redirect target
-    # for the pallas sparse-update kernel (ops/pallas_sparse_update.py)
-    r_pad = r_big + r_small + SENTINEL_ROWS
+    small_offsets, r_small = layout(per_small, 0)
 
     device_table_order: List[int] = []
     row_offsets: List[int] = []
@@ -160,9 +170,12 @@ def make_plan(
             per_big[d] + [-1] * (n_big_slots - len(per_big[d]))
             + per_small[d] + [-1] * (n_small_slots - len(per_small[d]))
         )
+        # padding slots point one past their section's live rows: the gather
+        # clamps them onto the section's dead sentinel rows, scatter drops
         row_offsets.extend(
-            big_offsets[d] + [r_pad] * (n_big_slots - len(per_big[d]))
-            + small_offsets[d] + [r_pad] * (n_small_slots - len(per_small[d]))
+            big_offsets[d] + [r_big + SENTINEL_ROWS] * (n_big_slots - len(per_big[d]))
+            + small_offsets[d]
+            + [r_small + SENTINEL_ROWS] * (n_small_slots - len(per_small[d]))
         )
 
     canonical_gather = [0] * len(rows)
@@ -185,7 +198,6 @@ def make_plan(
         device_table_order=tuple(device_table_order),
         canonical_gather=tuple(canonical_gather),
         row_offsets=tuple(row_offsets),
-        r_pad=r_pad,
         dim=dim,
         n_big_slots=n_big_slots,
         r_big=r_big,
@@ -196,26 +208,33 @@ def make_plan(
     )
 
 
-def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table) -> np.ndarray:
-    """Assemble the [n_model, r_pad, dim] parameter array from per-table
-    weights (dict or list of [rows_t, dim])."""
-    out = np.zeros((plan.n_model, plan.r_pad, plan.dim), dtype=np.float32)
+def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table):
+    """Assemble the (big, small) parameter arrays ([n_model, r_big_pad, dim]
+    and [n_model, r_small_pad, dim]) from per-table weights (dict or list
+    of [rows_t, dim])."""
+    big = np.zeros((plan.n_model, plan.r_big_pad, plan.dim), dtype=np.float32)
+    small = np.zeros(
+        (plan.n_model, plan.r_small_pad, plan.dim), dtype=np.float32
+    )
     for pos, t in enumerate(plan.device_table_order):
         if t < 0:
             continue
         d = pos // plan.t_pad
         off = plan.row_offsets[pos]
         w = np.asarray(per_table[t])
+        out = big if pos % plan.t_pad < plan.n_big_slots else small
         # MD tables have d_t < dim: zero-padded columns
         out[d, off : off + w.shape[0], : w.shape[1]] = w
-    return out
+    return big, small
 
 
-def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb: np.ndarray):
+def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb, emb_small=None):
     """Inverse of build_sharded_emb: per-canonical-table weights (for
     checkpoint export / tests). QR tables yield their QUOTIENT store."""
     qr = set(config.qr_table_ids)
     c = config.qr_collisions
+    emb = np.asarray(emb)
+    emb_small = np.asarray(emb_small) if emb_small is not None else None
     out = {}
     for pos, t in enumerate(plan.device_table_order):
         if t < 0:
@@ -227,7 +246,8 @@ def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb: np.ndarray):
             if t in qr
             else config.emb_rows[t]
         )
-        out[t] = np.asarray(emb[d, off : off + n, : config.emb_dims[t]])
+        src = emb if pos % plan.t_pad < plan.n_big_slots else emb_small
+        out[t] = np.asarray(src[d, off : off + n, : config.emb_dims[t]])
     return [out[t] for t in range(plan.num_tables)]
 
 

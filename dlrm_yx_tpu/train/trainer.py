@@ -211,6 +211,10 @@ class Trainer:
         for epoch in range(self.start_epoch, tcfg.nepochs):
             if self.events:
                 self.events.log_start("epoch_start", {"epoch_num": epoch})
+            if epoch > 0 and hasattr(train_batches, "reshuffle"):
+                # --mlperf-bin-shuffle: new batch-order permutation per
+                # epoch (dlrm_data_pytorch.py:383-398)
+                train_batches.reshuffle(epoch)
             it_source = iter(
                 train_batches() if callable(train_batches) else train_batches
             )

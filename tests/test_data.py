@@ -140,6 +140,20 @@ def test_bin_roundtrip_matches_npz_loader(tmp_path):
         n += 1
     assert n == 4
 
+    # --mlperf-bin-shuffle semantics: a seeded permutation of BATCH order
+    # covering every batch exactly once, re-permuted per epoch
+    sh = CriteoBinLoader(bin_path, counts_file, batch_size=8, shuffle_seed=5)
+    base = CriteoBinLoader(bin_path, counts_file, batch_size=8)
+    key = lambda b: (b.labels.tobytes(), np.asarray(b.indices).tobytes())
+    plain = sorted(key(b) for b in base)
+    shuffled = [key(b) for b in sh]
+    assert sorted(shuffled) == plain  # same multiset of batches
+    sh2 = CriteoBinLoader(bin_path, counts_file, batch_size=8, shuffle_seed=5)
+    assert [key(b) for b in sh2] == shuffled  # deterministic per seed
+    sh.reshuffle(1)
+    epoch1 = [key(b) for b in sh]
+    assert sorted(epoch1) == plain
+
     # native vs numpy reader agreement
     from dlrm_yx_tpu.data import fastparse as fp
 

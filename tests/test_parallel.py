@@ -78,8 +78,8 @@ def test_plan_roundtrip():
     plan = make_plan(cfg, n_model=4, alg="naive")
     rng = np.random.RandomState(0)
     tables = [rng.randn(n, cfg.base_dim).astype(np.float32) for n in cfg.emb_rows]
-    emb = build_sharded_emb(plan, cfg, tables)
-    back = extract_tables(plan, cfg, emb)
+    emb_big, emb_small = build_sharded_emb(plan, cfg, tables)
+    back = extract_tables(plan, cfg, emb_big, emb_small)
     for a, b in zip(tables, back):
         np.testing.assert_array_equal(a, b)
 
@@ -155,7 +155,9 @@ def test_hybrid_matches_single_device(mesh_shape, optname):
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
 
     # final tables match canonical single-device tables
-    got = extract_tables(plan, cfg, np.asarray(p2["emb"]))
+    got = extract_tables(
+        plan, cfg, np.asarray(p2["emb"]), np.asarray(p2["emb_small"])
+    )
     per_table = {}
     for g, store in zip(groups, p1["emb"]):
         s = np.asarray(unpack_store(store, g))
