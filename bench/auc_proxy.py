@@ -1,0 +1,152 @@
+"""Longer-horizon accuracy proxy: trace-driven synthetic training with a
+held-out eval split and AUC thresholds.
+
+The reference's accuracy baselines (Kaggle 0.789 acc, Terabyte-0.875
+0.8107 acc, MLPerf 0.8025 AUC) need the Criteo datasets, which are not in
+this environment. This is the standing proxy (VERDICT round-1 item 9):
+categorical streams come from the repo's stack-distance trace
+distributions (data/trace.py — temporal locality like real CTR logs), the
+click signal is a hidden per-category factor model, so held-out AUC
+genuinely measures learning; and the fast path (bf16 compute + pallas
+sparse update) must reach the same AUC as fp32+XLA.
+
+Run: python bench/auc_proxy.py [train_steps] [eval_batches]
+Prints JSON lines; the last line is the verdict summary.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_proxy_batches(
+    rows=(100_000, 30_000, 2_000),  # 3 tables = the repo's dist_emb_{0,1,2}
+
+    batch=256,
+    n_train=64,
+    n_eval=16,
+    l=2,
+    seed=0,
+    dist_file=None,
+):
+    """(cfg, train_batches, eval_batches): trace-driven indices + hidden
+    factor-model labels; eval batches are drawn from the same distribution
+    with a disjoint RNG stream (held out)."""
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.data.trace import make_trace_batches
+
+    t = len(rows)
+    cfg = DLRMConfig(
+        emb_rows=rows,
+        ln_bot=(13, 64, 32),
+        ln_top=((t + 1) * t // 2 + 32, 64, 1),
+        loss="bce",
+    )
+    if dist_file is None:
+        dist_file = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "input", "dist_emb_j.log",
+        )
+    r = np.random.RandomState(seed)
+    # scale 1.0: signal sigma ~ sqrt(3) -> Bayes AUC ~0.82, comfortably
+    # above the 0.75 pass threshold once the factors are learned
+    factors = [r.randn(n).astype(np.float32) for n in rows]
+
+    def label(idx2d, rr):
+        signal = sum(factors[k][idx2d[k]] for k in range(t))
+        p = 1.0 / (1.0 + np.exp(-signal))
+        return (rr.rand(len(p)) < p).astype(np.float32)[:, None]
+
+    def gen(n_batches, stream_seed):
+        raw = make_trace_batches(
+            dist_file, rows, cfg.ln_bot[0], batch, n_batches, l,
+            True, seed=stream_seed,
+        )
+        rr = np.random.RandomState(stream_seed + 1)
+        out = []
+        for b in raw:
+            idx = np.asarray(b.indices)
+            out.append(Batch(
+                dense=np.asarray(b.dense),
+                indices=idx,
+                weights=np.asarray(b.weights),
+                labels=label(idx[:, :, 0], rr),
+            ))
+        return out
+
+    return cfg, gen(n_train, 1000), gen(n_eval, 9000)
+
+
+def run_proxy(steps=2000, n_eval=16, configs=(("fp32_xla", "float32", "xla"),
+                                              ("bf16_pallas", "bfloat16", "pallas"))):
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.metrics import roc_auc_exact
+    from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
+
+    cfg0, train_b, eval_b = build_proxy_batches(n_eval=n_eval)
+    results = {}
+    for tag, cd, impl in configs:
+        cfg = dataclasses.replace(
+            cfg0, compute_dtype=cd, sparse_update_impl=impl
+        )
+        params = init_dlrm(cfg, seed=7)
+        opt = OptConfig("rwsadagrad", 0.05)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        ev = make_eval_step(cfg)
+
+        def eval_auc(params):
+            scores, targets = [], []
+            for b in eval_b:
+                preds, _ = ev(params, Batch(*map(jnp.asarray, b)))
+                scores.append(np.asarray(preds).ravel())
+                targets.append(np.asarray(b.labels).ravel())
+            return float(
+                roc_auc_exact(
+                    np.concatenate(scores), np.concatenate(targets)
+                )
+            )
+
+        auc0 = eval_auc(params)
+        curve = [(0, auc0)]
+        for i in range(steps):
+            params, st, loss = step(
+                params, st, Batch(*map(jnp.asarray, train_b[i % len(train_b)])), i
+            )
+            if (i + 1) % max(1, steps // 8) == 0:
+                curve.append((i + 1, eval_auc(params)))
+        results[tag] = curve
+        print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
+    return results
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    results = run_proxy(steps, n_eval)
+    finals = {tag: curve[-1][1] for tag, curve in results.items()}
+    starts = {tag: curve[0][1] for tag, curve in results.items()}
+    gap = abs(finals["fp32_xla"] - finals["bf16_pallas"])
+    ok = all(f > 0.75 for f in finals.values()) and gap < 0.01
+    print(json.dumps({
+        "verdict": "ok" if ok else "FAIL",
+        "initial_auc": starts,
+        "final_auc": finals,
+        "fp32_vs_bf16_pallas_auc_gap": round(gap, 5),
+        "threshold": 0.75,
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["xla", "pallas"],
                    help="pallas = row-RMW kernel for big-table updates "
                         "(ops/pallas_sparse_update.py)")
+    p.add_argument("--exact-row-momentum", action="store_true", default=False,
+                   help="pre-coalesce duplicate rows before the pallas "
+                        "kernel so adagrad-family momentum matches the "
+                        "reference's grad.coalesce() exactly (costs a sort)")
     p.add_argument("--emb-split-threshold", type=int, default=65536,
                    help="tables with more rows get their own group stores "
                         "(kernel-updated); 0 disables splitting")
@@ -224,6 +228,7 @@ def config_from_args(args) -> DLRMConfig:
         stochastic_rounding=args.stochastic_rounding,
         lookup_impl=args.lookup_impl,
         sparse_update_impl=args.sparse_update_impl,
+        exact_row_momentum=args.exact_row_momentum,
         emb_split_threshold=args.emb_split_threshold,
     )
 
@@ -404,6 +409,7 @@ def main(argv=None):
                 cfg, opt, data=args.mesh_data,
                 model=args.mesh_model or None, lr_fn=lr_policy,
                 seed=args.numpy_rand_seed,
+                n_accum=max(1, args.mlperf_grad_accum_iter),
             )
         elif args.shard_mode == "col":
             from dlrm_yx_tpu.parallel.col_sharded import ColShardedRunner
@@ -412,6 +418,7 @@ def main(argv=None):
                 cfg, opt, data=args.mesh_data,
                 model=args.mesh_model or None, lr_fn=lr_policy,
                 seed=args.numpy_rand_seed,
+                n_accum=max(1, args.mlperf_grad_accum_iter),
             )
         else:
             from dlrm_yx_tpu.parallel.hybrid import HybridRunner
@@ -429,6 +436,7 @@ def main(argv=None):
                 allocation=allocation,
                 lr_fn=lr_policy,
                 seed=args.numpy_rand_seed,
+                n_accum=max(1, args.mlperf_grad_accum_iter),
             )
         rank0_print(
             f"{args.shard_mode}-sharded mesh {dict(runner.mesh.shape)}"

@@ -81,6 +81,12 @@ class DLRMConfig:
     # per-occurrence on duplicate rows, matching fbgemm's approx-rowwise
     # behavior — identical to 'xla' when rows are unique within a step)
     sparse_update_impl: str = "xla"
+    # opt-in: pre-coalesce duplicate rows (sort + segment-sum) before the
+    # pallas kernel so adagrad-family momentum matches the reference's
+    # grad.coalesce() semantics bit-for-bit even on dup-heavy steps
+    # (rwsadagrad.py:98); costs a sort in the hot path — off by default
+    # because big hashed tables rarely see intra-step duplicates
+    exact_row_momentum: bool = False
     # tables with rows <= this go into separate small group stores whose XLA
     # scatter is cheap; bigger tables' stores route through the RMW kernel
     # when sparse_update_impl='pallas' (0 disables splitting)

@@ -5,8 +5,9 @@ Capability parity with ``CriteoBinDataset`` / ``numpy_to_binary`` in
 one record per sample = 40 little-endian int32 = [y, 13 x X_int, 26 x X_cat];
 one seek+read per batch; test/val = first/second half of the last day's file.
 
-A C++ reader (csrc/binloader.cpp, via ctypes) does the pread + int32→float
-transform off the GIL; the numpy path is the fallback.
+A C++ reader (``fp_read_bin_batch`` in csrc/fastparse.cpp, via ctypes) does
+the pread + int32→float transform off the GIL; the numpy path is the
+fallback.
 """
 
 from __future__ import annotations

@@ -160,6 +160,7 @@ def sparse_update(
     sr_seed=0,
     size_class: int = 1,
     dim: int | None = None,
+    exact_momentum: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
@@ -214,6 +215,13 @@ def sparse_update(
         and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
     )
     if use_kernel:
+        if exact_momentum and opt.name != "sgd":
+            # --exact-row-momentum: coalesce duplicates FIRST so the
+            # adagrad-family momentum sees each row's summed gradient once
+            # (grad.coalesce() semantics, rwsadagrad.py:98) instead of the
+            # default per-occurrence fbgemm-style approximation. Pays a
+            # sort; SGD is linear and always exact without it.
+            flat_idx, flat_g = coalesce_rows(flat_idx, flat_g, sentinel)
         active = (flat_idx < sentinel).astype(jnp.int32)
         if opt.name == "sgd":
             return (

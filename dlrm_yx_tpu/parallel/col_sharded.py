@@ -127,11 +127,20 @@ def init_col_sharded_params(
         bound = np.sqrt(1.0 / n)
         per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
     emb = build_col_sharded_emb(plan, per_table)
+    vw = None
+    if config.weighted_pooling is not None:
+        # v_W = ones per real row; REPLICATED over "model" (every shard
+        # holds all rows, only a column slice each) — the learned update
+        # psums the full-width row dot so replicas stay identical
+        flat = np.zeros((plan.total_rows,), np.float32)
+        for off, n in zip(plan.row_offsets, plan.rows):
+            flat[off : off + n] = 1.0
+        vw = jnp.asarray(flat)
     return {
         "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
         "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
         "emb": jnp.asarray(emb),
-        "vw": None,
+        "vw": vw,
     }
 
 
@@ -150,12 +159,17 @@ def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
         if opt.name == "adagrad"
         else jnp.zeros(emb.shape[:2], jnp.float32)
     )
-    return {"dense": dense, "emb": acc}
+    state = {"dense": dense, "emb": acc}
+    if params.get("vw") is not None:
+        state["vw"] = jnp.zeros_like(params["vw"])
+    return state
 
 
 def shard_col_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     p = dict(params)
     p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    if params.get("vw") is not None:
+        p["vw"] = jax.device_put(params["vw"], NamedSharding(mesh, P()))
     for k in ("bot", "top"):
         p[k] = [
             tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -164,6 +178,8 @@ def shard_col_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     s = dict(opt_state)
     if opt.name != "sgd":
         s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        if "vw" in opt_state:
+            s["vw"] = jax.device_put(opt_state["vw"], NamedSharding(mesh, P()))
         s["dense"] = {
             k: [
                 tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -183,15 +199,21 @@ def shard_col_batch(mesh: Mesh, batch: Batch) -> Batch:
     )
 
 
-def _local_pooled(store, plan: ColShardPlan, gid, weights):
+def _local_pooled(store, plan: ColShardPlan, gid, weights, vw=None):
+    """Returns (pooled [T,B,d_local], effective weights, gathered rows)."""
     t, b, l = gid.shape
     safe = jnp.minimum(gid, plan.total_rows - 1)
+    w = weights
+    if vw is not None:
+        w = w * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
     rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(
         t, b, l, plan.d_local
     )
     if l == 1:
-        return rows[:, :, 0, :] * weights[:, :, 0][..., None]
-    return jnp.sum(weights[..., None] * rows, axis=2)
+        pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
+    else:
+        pooled = jnp.sum(w[..., None] * rows, axis=2)
+    return pooled, w, rows
 
 
 def make_col_sharded_train_step(
@@ -209,8 +231,10 @@ def make_col_sharded_train_step(
         store = params["emb"][0]  # [total_rows, d_local]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
-
-        pooled_local = _local_pooled(store, plan, gid, batch.weights)
+        vw = params.get("vw")
+        pooled_local, w_eff, row_vals = _local_pooled(
+            store, plan, gid, batch.weights, vw
+        )
 
         n_total = mesh.shape["data"] * mesh.shape["model"]
         bsz_global = (
@@ -261,9 +285,184 @@ def make_col_sharded_train_step(
         # sparse updates on the local column slice; fold batch over "data"
         t, bd, l = batch.indices.shape
         flat_idx = gid.reshape(t * bd * l)
-        flat_g = (batch.weights[..., None] * g_pooled[:, :, None, :]).reshape(
+        flat_g = (w_eff[..., None] * g_pooled[:, :, None, :]).reshape(
             t * bd * l, plan.d_local
         )
+        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
+        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        if opt.name == "sgd":
+            store2 = store.at[flat_idx].add(-lr * flat_g, mode="drop")
+            acc2 = acc
+        else:
+            uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
+            if opt.name == "adagrad":
+                acc2 = acc.at[uniq].add(sg * sg, mode="drop")
+                denom = (
+                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    + opt.eps
+                )
+                store2 = store.at[uniq].add(-lr * sg / denom, mode="drop")
+            else:  # rwsadagrad: full-width row norm via psum over "model"
+                sq = jnp.sum(sg * sg, axis=-1)
+                sq = jax.lax.psum(sq, "model") / plan.dim
+                acc2 = acc.at[uniq].add(sq, mode="drop")
+                denom = (
+                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    + opt.eps
+                )
+                store2 = store.at[uniq].add(
+                    -lr * sg / denom[:, None], mode="drop"
+                )
+        new_params["emb"] = store2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc2[None]
+        if vw is not None and config.weighted_pooling == "learned":
+            # d loss / d vw[row] += base_w * <g_pooled_full, store_full[row]>
+            # = psum over "model" of the per-slice partial dots (each shard
+            # holds d_local columns); the replicated vw update is identical
+            # on every shard
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            gv = (
+                jnp.sum(row_vals * g_pooled[:, :, None, :], axis=-1)
+                * batch.weights
+            ).reshape(t * bd * l)
+            gv = jax.lax.psum(gv, "model")
+            vidx = jnp.where(
+                gid.reshape(-1) < plan.total_rows, gid.reshape(-1),
+                plan.total_rows,
+            )
+            vidx = jax.lax.all_gather(vidx, "data", tiled=True)
+            gv = jax.lax.all_gather(gv, "data", tiled=True)
+            vacc = opt_state.get("vw") if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, vw, vacc, vidx, gv, lr, plan.total_rows
+            )
+            new_params["vw"] = vw2
+            if opt.name != "sgd":
+                new_state["vw"] = vacc2
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": P() if config.weighted_pooling is not None else None,
+    }
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+            **(
+                {"vw": P()}
+                if config.weighted_pooling == "learned"
+                else {}
+            ),
+        }
+    )
+    bspecs = Batch(
+        dense=P(("data", "model")),
+        indices=P(None, "data"),
+        weights=P(None, "data"),
+        labels=P(("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_col_sharded_accum_train_step(
+    config: DLRMConfig,
+    plan: ColShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_accum: int,
+    lr_fn=None,
+):
+    """Gradient accumulation over n_accum micro-batches with ONE optimizer
+    step on the column-sharded mesh (--mlperf-grad-accum-iter; every Batch
+    leaf carries a leading [n_accum] axis)."""
+    if config.weighted_pooling is not None:
+        raise NotImplementedError("grad accumulation with weighted pooling")
+    offs = np.asarray(plan.row_offsets, np.int32)
+
+    def local_step(params, opt_state, batches, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        store = params["emb"][0]
+        acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+
+        def micro(carry, b):
+            g_sum, loss_sum = carry
+            batch = Batch(*b)
+            gid = batch.indices + jnp.asarray(offs)[:, None, None]
+            pooled_local, _, _ = _local_pooled(store, plan, gid, batch.weights)
+            bsz_global = batch.labels.shape[0] * n_total
+
+            def dense_loss(dp, pooled_in):
+                ly_full = jax.lax.all_to_all(
+                    pooled_in, "model", split_axis=1, concat_axis=2,
+                    tiled=True,
+                )
+                ly = jnp.transpose(ly_full, (1, 0, 2))
+                d = config.base_dim
+                if plan.dim != d:
+                    k = plan.dim // d
+                    b_loc, t_loc = ly.shape[0], ly.shape[1]
+                    ly = ly.reshape(b_loc, t_loc, k, d).reshape(
+                        b_loc, t_loc * k, d
+                    )
+                cdt = jnp.dtype(config.compute_dtype)
+                x = apply_mlp(batch.dense, dp["bot"], config.sigmoid_bot, cdt)
+                z = interact_features(
+                    x, ly, config.interaction, config.interact_itself, cdt
+                )
+                logits = apply_mlp(
+                    z, dp["top"], config.sigmoid_top, cdt,
+                    skip_last_activation=True,
+                )
+                local = loss_fn(
+                    logits, batch.labels, config.loss, config.loss_threshold,
+                    config.wbce_weights,
+                )
+                return local * (batch.labels.shape[0] / bsz_global)
+
+            loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1)
+            )(dense_params, pooled_local)
+            g_sum = jax.tree.map(jnp.add, g_sum, g_dense)
+            return (g_sum, loss_sum + loss_share), (gid, g_pooled)
+
+        g0 = jax.tree.map(jnp.zeros_like, dense_params)
+        (g_sum, loss_sum), (gid_stk, g_pooled_stk) = jax.lax.scan(
+            micro, (g0, jnp.float32(0.0)), tuple(batches)
+        )
+        loss = jax.lax.psum(loss_sum, ("data", "model")) / n_accum
+        g_dense = jax.lax.psum(g_sum, ("data", "model"))
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        dp_new, ds_new = update_dense_towers(opt, params, opt_state, g_dense, lr)
+        new_params.update({k: dp_new[k] for k in ("bot", "top")})
+        if opt.name != "sgd":
+            new_state["dense"] = dict(new_state["dense"])
+            new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
+
+        flat_idx = gid_stk.reshape(-1)
+        flat_g = (
+            batches.weights[..., None] * g_pooled_stk[:, :, :, None, :]
+        ).reshape(-1, plan.d_local)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
         if opt.name == "sgd":
@@ -312,10 +511,10 @@ def make_col_sharded_train_step(
         }
     )
     bspecs = Batch(
-        dense=P(("data", "model")),
-        indices=P(None, "data"),
-        weights=P(None, "data"),
-        labels=P(("data", "model")),
+        dense=P(None, ("data", "model")),
+        indices=P(None, None, "data"),
+        weights=P(None, None, "data"),
+        labels=P(None, ("data", "model")),
     )
     sharded = jax.shard_map(
         local_step,
@@ -333,7 +532,10 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
     def local_eval(params, batch):
         store = params["emb"][0]
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
-        pooled_local = _local_pooled(store, plan, gid, batch.weights)
+        vw = params.get("vw")
+        pooled_local, _, _ = _local_pooled(
+            store, plan, gid, batch.weights, vw
+        )
         ly_full = jax.lax.all_to_all(
             pooled_local, "model", split_axis=1, concat_axis=2, tiled=True
         )
@@ -361,7 +563,7 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P() if config.weighted_pooling is not None else None,
     }
     bspecs = Batch(
         dense=P(("data", "model")),
@@ -382,11 +584,13 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
 class ColShardedRunner:
     """Trainer runner for the column-sharded path (--shard-mode=col)."""
 
-    def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123):
+    def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123,
+                 n_accum=1):
         from dlrm_yx_tpu.parallel.mesh import make_mesh
 
         self.config = config
         self.opt = opt
+        self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         self.plan = make_col_plan(config, self.mesh.shape["model"])
         params = init_col_sharded_params(config, self.plan, seed)
@@ -394,14 +598,23 @@ class ColShardedRunner:
         self.params, self.opt_state = shard_col_params(
             self.mesh, params, opt, state
         )
-        self.train_step = make_col_sharded_train_step(
-            config, self.plan, opt, self.mesh, lr_fn
-        )
+        if self.n_accum > 1:
+            self.train_step = make_col_sharded_accum_train_step(
+                config, self.plan, opt, self.mesh, self.n_accum, lr_fn
+            )
+        else:
+            self.train_step = make_col_sharded_train_step(
+                config, self.plan, opt, self.mesh, lr_fn
+            )
         self.eval_step = make_col_sharded_eval_step(config, self.plan, self.mesh)
 
     def prepare_batch(self, b):
         import jax.numpy as jnp
 
+        if np.asarray(b.labels).ndim == 3:  # stacked micro-batches
+            from dlrm_yx_tpu.parallel.row_sharded import _shard_stacked_batch
+
+            return _shard_stacked_batch(self.mesh, b)
         return shard_col_batch(self.mesh, Batch(*map(jnp.asarray, b)))
 
     def reshard(self, params, opt_state):

@@ -315,6 +315,260 @@ def _slots_from_canonical(ly_can, config: DLRMConfig, md_proj=None):
     return jnp.transpose(ly, (1, 0, 2, 3)).reshape(b, t * k, d)
 
 
+def _row_dim_tables(config: DLRMConfig, plan: ShardingPlan):
+    """Per-(shard, store-section) true embedding dims for rwsadagrad's
+    per-row momentum with MD zero-padded columns. Returns (big, small)
+    float32 arrays [n_model, r_{big,small}_pad]."""
+    import numpy as _np
+
+    nb = plan.n_big_slots
+    qr_ids = set(config.qr_table_ids)
+    c = config.qr_collisions
+    big = _np.full(
+        (plan.n_model, plan.r_big_pad), float(plan.dim), _np.float32
+    )
+    small = _np.full(
+        (plan.n_model, plan.r_small_pad), float(plan.dim), _np.float32
+    )
+    for pos, tt in enumerate(plan.device_table_order):
+        if tt < 0:
+            continue
+        dsh = pos // plan.t_pad
+        off = plan.row_offsets[pos]
+        dst = big if pos % plan.t_pad < nb else small
+        nrows = (
+            int(_np.ceil(config.emb_rows[tt] / c))
+            if tt in qr_ids
+            else config.emb_rows[tt]
+        )
+        dst[dsh, off : off + nrows] = float(config.emb_dims[tt])
+    return big, small
+
+
+def make_hybrid_accum_train_step(
+    config: DLRMConfig,
+    plan: ShardingPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_accum: int,
+    lr_fn=None,
+):
+    """Gradient accumulation over ``n_accum`` micro-batches with ONE
+    optimizer step on the hybrid mesh (--mlperf-grad-accum-iter on the
+    multi-device paths; the reference's accumulation composes with every
+    execution mode, dlrm_s_pytorch.py:1925-1932).
+
+    step(params, opt_state, stacked_batch, iteration): every Batch leaf
+    carries a leading [n_accum] axis (device-major arranged per micro,
+    then stacked). Dense grads are SUMMED over micro-batches (torch
+    autograd semantics); all micro-batches' sparse row grads are applied
+    in one coalesced update per store section, so Adagrad-family momenta
+    see the accumulated gradient exactly once. Returns the mean
+    micro-batch loss."""
+    if config.qr_table_ids:
+        raise NotImplementedError("grad accumulation with QR tables")
+    if config.weighted_pooling is not None:
+        raise NotImplementedError("grad accumulation with weighted pooling")
+    n_model = plan.n_model
+    nb = plan.n_big_slots
+    ns_slots = plan.t_pad - nb
+    offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
+    gather_all = np.asarray(plan.canonical_gather, np.int32)
+    row_dim_big_all = row_dim_small_all = None
+    if config.md_table_ids and opt.name == "rwsadagrad":
+        # reuse the per-section row-dim tables from the plain step builder
+        tmp = _row_dim_tables(config, plan)
+        row_dim_big_all, row_dim_small_all = tmp
+
+    def local_step(params, opt_state, batches, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        m = jax.lax.axis_index("model")
+        offs = jax.lax.dynamic_index_in_dim(
+            jnp.asarray(offs_all), m, 0, keepdims=False
+        )
+        store_b = params["emb"][0]
+        store_s = params["emb_small"][0]
+        acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
+        acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
+        row_dim_b = row_dim_s = None
+        if row_dim_big_all is not None:
+            row_dim_b = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(row_dim_big_all), m, 0, keepdims=False
+            )
+            row_dim_s = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(row_dim_small_all), m, 0, keepdims=False
+            )
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+        if "md_proj" in params:
+            dense_params["md_proj"] = params["md_proj"]
+
+        def micro(carry, b):
+            g_sum, loss_sum = carry
+            batch = Batch(*b)
+            parts = []
+            if nb > 0:
+                parts.append(_local_lookup(
+                    store_b, offs[:nb], batch.indices[:nb],
+                    batch.weights[:nb], plan.r_big_pad, plan.dim,
+                ))
+            if ns_slots > 0:
+                parts.append(_local_lookup(
+                    store_s, offs[nb:], batch.indices[nb:],
+                    batch.weights[nb:], plan.r_small_pad, plan.dim,
+                ))
+            pooled = (
+                parts[0][0]
+                if len(parts) == 1
+                else jnp.concatenate([p[0] for p in parts], 0)
+            )
+            bsz_global = batch.labels.shape[0] * n_total
+
+            def dense_loss(dp, pooled_in):
+                ly_ex = jax.lax.all_to_all(
+                    pooled_in, "model", split_axis=1, concat_axis=0,
+                    tiled=True,
+                )
+                ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
+                ly = _slots_from_canonical(ly_can, config, dp.get("md_proj"))
+                cdt = jnp.dtype(config.compute_dtype)
+                x = apply_mlp(batch.dense, dp["bot"], config.sigmoid_bot, cdt)
+                z = interact_features(
+                    x, ly, config.interaction, config.interact_itself, cdt
+                )
+                logits = apply_mlp(
+                    z, dp["top"], config.sigmoid_top, cdt,
+                    skip_last_activation=True,
+                )
+                local = loss_fn(
+                    logits, batch.labels, config.loss, config.loss_threshold,
+                    config.wbce_weights,
+                )
+                return local * (batch.labels.shape[0] / bsz_global)
+
+            loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1)
+            )(dense_params, pooled)
+            g_sum = jax.tree.map(jnp.add, g_sum, g_dense)
+            ys = (g_pooled,)
+            if nb > 0:
+                ys += (parts[0][1],)
+            if ns_slots > 0:
+                ys += (parts[-1][1],)
+            return (g_sum, loss_sum + loss_share), ys
+
+        g0 = jax.tree.map(jnp.zeros_like, dense_params)
+        (g_sum, loss_sum), ys = jax.lax.scan(
+            micro, (g0, jnp.float32(0.0)), tuple(batches)
+        )
+        loss = jax.lax.psum(loss_sum, ("data", "model")) / n_accum
+        g_dense = jax.lax.psum(g_sum, ("data", "model"))
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        dp_new, ds_new = update_dense_towers(opt, params, opt_state, g_dense, lr)
+        new_params.update({k: dp_new[k] for k in ("bot", "top")})
+        if opt.name != "sgd":
+            new_state["dense"] = dict(new_state["dense"])
+            new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
+        if "md_proj" in params:
+            new_proj, new_proj_acc = [], []
+            for i, w in enumerate(params["md_proj"]):
+                pa = opt_state["md_proj"][i] if opt.name != "sgd" else None
+                w2, pa2 = dense_update(opt, w, g_dense["md_proj"][i], pa, lr)
+                new_proj.append(w2)
+                new_proj_acc.append(pa2)
+            new_params["md_proj"] = new_proj
+            if opt.name != "sgd":
+                new_state["md_proj"] = new_proj_acc
+
+        # one coalesced sparse update per section over ALL micro-batches
+        g_pooled_stk = ys[0]  # [n_accum, t_pad, bd, dim]
+        w_g = (
+            batches.weights[..., None] * g_pooled_stk[:, :, :, None, :]
+        )  # [n_accum, t_pad, bd, l, dim]
+        yi = 1
+        interp = jax.default_backend() != "tpu"
+        if nb > 0:
+            gidx_stk = ys[yi]
+            yi += 1
+            fi = jax.lax.all_gather(
+                gidx_stk.reshape(-1), "data", tiled=True
+            )
+            fg = jax.lax.all_gather(
+                w_g[:, :nb].reshape(-1, plan.dim), "data", tiled=True
+            )
+            store_b2, acc_b2 = sparse_update(
+                opt, store_b, acc_b, fi, fg, lr, plan.r_big_pad,
+                impl=config.sparse_update_impl, interpret=interp,
+                row_dim=row_dim_b,
+            )
+        else:
+            store_b2, acc_b2 = store_b, acc_b
+        if ns_slots > 0:
+            gidx_stk = ys[yi]
+            fi = jax.lax.all_gather(
+                gidx_stk.reshape(-1), "data", tiled=True
+            )
+            fg = jax.lax.all_gather(
+                w_g[:, nb:].reshape(-1, plan.dim), "data", tiled=True
+            )
+            store_s2, acc_s2 = sparse_update(
+                opt, store_s, acc_s, fi, fg, lr, plan.r_small_pad,
+                impl="xla", interpret=interp, row_dim=row_dim_s,
+                size_class=0,
+            )
+        else:
+            store_s2, acc_s2 = store_s, acc_s
+        new_params["emb"] = store_b2[None]
+        new_params["emb_small"] = store_s2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc_b2[None]
+            new_state["emb_small"] = acc_s2[None]
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "emb_small": P("model"),
+        "vw": None,
+    }
+    if config.md_table_ids:
+        pspecs["md_proj"] = [P()] * len(config.md_table_ids)
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+            "emb_small": P("model"),
+            **(
+                {"md_proj": [P()] * len(config.md_table_ids)}
+                if config.md_table_ids
+                else {}
+            ),
+        }
+    )
+    bspecs = Batch(
+        dense=P(None, ("data", "model")),
+        indices=P(None, "model", "data"),
+        weights=P(None, "model", "data"),
+        labels=P(None, ("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_hybrid_train_step(
     config: DLRMConfig,
     plan: ShardingPlan,
@@ -338,32 +592,7 @@ def make_hybrid_train_step(
     # one array per store section
     row_dim_big_all = row_dim_small_all = None
     if config.md_table_ids and opt.name == "rwsadagrad":
-        import numpy as _np
-
-        qr_ids = set(config.qr_table_ids)
-        c = config.qr_collisions
-        row_dim_big_all = _np.full(
-            (n_model, plan.r_big_pad), float(plan.dim), _np.float32
-        )
-        row_dim_small_all = _np.full(
-            (n_model, plan.r_small_pad), float(plan.dim), _np.float32
-        )
-        for pos, tt in enumerate(plan.device_table_order):
-            if tt < 0:
-                continue
-            dsh = pos // plan.t_pad
-            off = plan.row_offsets[pos]
-            dst = (
-                row_dim_big_all
-                if pos % plan.t_pad < nb
-                else row_dim_small_all
-            )
-            nrows = (
-                int(_np.ceil(config.emb_rows[tt] / c))
-                if tt in qr_ids
-                else config.emb_rows[tt]
-            )
-            dst[dsh, off : off + nrows] = float(config.emb_dims[tt])
+        row_dim_big_all, row_dim_small_all = _row_dim_tables(config, plan)
 
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
@@ -568,6 +797,7 @@ def make_hybrid_train_step(
                 opt, store_b, acc_b, idx_bf, g_bf, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
                 row_dim=row_dim_b,
+                exact_momentum=config.exact_row_momentum,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b
@@ -698,12 +928,14 @@ class HybridRunner:
         allocation=None,
         lr_fn=None,
         seed: int = 123,
+        n_accum: int = 1,
     ):
         from dlrm_yx_tpu.parallel.mesh import make_mesh
         from dlrm_yx_tpu.parallel.plan import arrange_sparse_inputs, make_plan
 
         self.config = config
         self.opt = opt
+        self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         n_model = self.mesh.shape["model"]
         self.plan = make_plan(config, n_model, sharder, allocation)
@@ -711,12 +943,52 @@ class HybridRunner:
         params = init_hybrid_params(config, self.plan, seed)
         state = init_hybrid_opt_state(opt, params)
         self.params, self.opt_state = shard_params(self.mesh, params, opt, state)
-        self.train_step = make_hybrid_train_step(
-            config, self.plan, opt, self.mesh, lr_fn
-        )
+        if self.n_accum > 1:
+            self.train_step = make_hybrid_accum_train_step(
+                config, self.plan, opt, self.mesh, self.n_accum, lr_fn
+            )
+        else:
+            self.train_step = make_hybrid_train_step(
+                config, self.plan, opt, self.mesh, lr_fn
+            )
         self.eval_step = make_hybrid_eval_step(config, self.plan, self.mesh)
 
     def prepare_batch(self, b: Batch) -> Batch:
+        if np.asarray(b.labels).ndim == 3:
+            # stacked micro-batches (--mlperf-grad-accum-iter): arrange
+            # each micro, stack, shard with a leading unsharded axis
+            micros = [
+                self._prepare_one(Batch(*[np.asarray(x)[i] for x in b]))
+                for i in range(np.asarray(b.labels).shape[0])
+            ]
+            stacked = Batch(
+                *[np.stack([getattr(mb, f) for mb in micros])
+                  for f in Batch._fields]
+            )
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            return Batch(
+                dense=jax.device_put(
+                    stacked.dense,
+                    NamedSharding(self.mesh, P(None, ("data", "model"))),
+                ),
+                indices=jax.device_put(
+                    stacked.indices,
+                    NamedSharding(self.mesh, P(None, "model", "data")),
+                ),
+                weights=jax.device_put(
+                    stacked.weights,
+                    NamedSharding(self.mesh, P(None, "model", "data")),
+                ),
+                labels=jax.device_put(
+                    stacked.labels,
+                    NamedSharding(self.mesh, P(None, ("data", "model"))),
+                ),
+            )
+        return shard_batch(self.mesh, self._prepare_one(b))
+
+    def _prepare_one(self, b: Batch) -> Batch:
         n_total = self.mesh.shape["data"] * self.mesh.shape["model"]
         bsz = np.asarray(b.labels).shape[0]
         if bsz % n_total or (bsz // self.mesh.shape["data"]) % self.mesh.shape["model"]:
@@ -728,10 +1000,7 @@ class HybridRunner:
         ai, aw = self._arrange(
             self.plan, np.asarray(b.indices), np.asarray(b.weights)
         )
-        return shard_batch(
-            self.mesh,
-            Batch(np.asarray(b.dense), ai, aw, np.asarray(b.labels)),
-        )
+        return Batch(np.asarray(b.dense), ai, aw, np.asarray(b.labels))
 
     def reshard(self, params, opt_state):
         """Re-place host pytrees (e.g. from a loaded checkpoint) on the

@@ -70,8 +70,6 @@ def _reject_unsupported_variants(config: DLRMConfig, mode: str) -> None:
         unsupported.append("--qr-flag")
     if config.md_table_ids:
         unsupported.append("--md-flag")
-    if config.weighted_pooling is not None:
-        unsupported.append("--weighted-pooling")
     if unsupported:
         raise NotImplementedError(
             f"{mode}-sharded mode does not support {', '.join(unsupported)}; "
@@ -163,11 +161,24 @@ def init_row_sharded_params(
         bound = np.sqrt(1.0 / n)
         per_table.append(rng.uniform(-bound, bound, size=(n, d)).astype(np.float32))
     emb = build_row_sharded_emb(plan, per_table)
+    vw = None
+    if config.weighted_pooling is not None:
+        # v_W = ones per real row (dlrm_s_pytorch.py:313-316), sharded with
+        # the row space; padding/sentinel rows carry 0 so clamped gathers
+        # contribute nothing
+        flat = np.zeros((plan.total_rows,), np.float32)
+        for off, n in zip(plan.row_offsets, plan.rows):
+            flat[off : off + n] = 1.0
+        shards = np.zeros((plan.n_model, plan.store_rows), np.float32)
+        shards[:, : plan.rows_local] = flat.reshape(
+            plan.n_model, plan.rows_local
+        )
+        vw = jnp.asarray(shards)
     return {
         "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_bot)],
         "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, config.ln_top)],
         "emb": jnp.asarray(emb),
-        "vw": None,
+        "vw": vw,
     }
 
 
@@ -184,12 +195,17 @@ def init_row_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
         if opt.name == "adagrad"
         else jnp.zeros(emb.shape[:2], jnp.float32)
     )
-    return {"dense": dense, "emb": acc}
+    state = {"dense": dense, "emb": acc}
+    if params.get("vw") is not None:
+        state["vw"] = jnp.zeros_like(params["vw"])
+    return state
 
 
 def shard_row_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     p = dict(params)
     p["emb"] = jax.device_put(params["emb"], NamedSharding(mesh, P("model")))
+    if params.get("vw") is not None:
+        p["vw"] = jax.device_put(params["vw"], NamedSharding(mesh, P("model")))
     for k in ("bot", "top"):
         p[k] = [
             tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -198,6 +214,10 @@ def shard_row_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
     s = dict(opt_state)
     if opt.name != "sgd":
         s["emb"] = jax.device_put(opt_state["emb"], NamedSharding(mesh, P("model")))
+        if "vw" in opt_state:
+            s["vw"] = jax.device_put(
+                opt_state["vw"], NamedSharding(mesh, P("model"))
+            )
         s["dense"] = {
             k: [
                 tuple(jax.device_put(x, NamedSharding(mesh, P())) for x in layer)
@@ -206,6 +226,29 @@ def shard_row_params(mesh: Mesh, params: Dict, opt: OptConfig, opt_state: Dict):
             for k in ("bot", "top")
         }
     return p, s
+
+
+def _shard_stacked_batch(mesh: Mesh, batch: Batch) -> Batch:
+    """Place a stacked [n_accum, ...] micro-batch group for the accum steps
+    (leading axis unsharded; same inner specs as shard_row_batch)."""
+    return Batch(
+        dense=jax.device_put(
+            np.asarray(batch.dense),
+            NamedSharding(mesh, P(None, ("data", "model"))),
+        ),
+        indices=jax.device_put(
+            np.asarray(batch.indices),
+            NamedSharding(mesh, P(None, None, "data")),
+        ),
+        weights=jax.device_put(
+            np.asarray(batch.weights),
+            NamedSharding(mesh, P(None, None, "data")),
+        ),
+        labels=jax.device_put(
+            np.asarray(batch.labels),
+            NamedSharding(mesh, P(None, ("data", "model"))),
+        ),
+    )
 
 
 def shard_row_batch(mesh: Mesh, batch: Batch) -> Batch:
@@ -220,10 +263,12 @@ def shard_row_batch(mesh: Mesh, batch: Batch) -> Batch:
     )
 
 
-def _partial_pooled(store, plan: RowShardPlan, gid, weights):
+def _partial_pooled(store, plan: RowShardPlan, gid, weights, vw=None):
     """Masked pooled-sum over locally-owned rows.
-    gid: [T, Bd, L] global row ids; returns ([T, Bd, dim], local ids with
-    non-owned entries at the rows_local sentinel)."""
+    gid: [T, Bd, L] global row ids; vw: optional [store_rows] per-row
+    pooling weights (the reference's v_W_l); returns ([T, Bd, dim],
+    local ids with non-owned entries at the rows_local sentinel,
+    effective weights, gathered rows)."""
     m = jax.lax.axis_index("model")
     base = m * plan.rows_local
     local = gid - base
@@ -231,13 +276,15 @@ def _partial_pooled(store, plan: RowShardPlan, gid, weights):
     w = jnp.where(owned, weights, 0.0)
     safe = jnp.clip(local, 0, plan.rows_local - 1)  # sentinel rows never read
     t, b, l = gid.shape
+    if vw is not None:
+        w = w * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
     rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, plan.dim)
     if l == 1:
         pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
     else:
         pooled = jnp.sum(w[..., None] * rows, axis=2)
     sent_local = jnp.where(owned & (weights > 0), local, plan.rows_local)
-    return pooled, sent_local.astype(jnp.int32)
+    return pooled, sent_local.astype(jnp.int32), w, rows
 
 
 def make_row_sharded_train_step(
@@ -260,7 +307,11 @@ def make_row_sharded_train_step(
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
 
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
-        partial, local_ids = _partial_pooled(store, plan, gid, batch.weights)
+        vw = params.get("vw")
+        vw = vw[0] if vw is not None else None
+        partial, local_ids, w_eff, row_vals = _partial_pooled(
+            store, plan, gid, batch.weights, vw
+        )
         # complete the sum AND split the batch over "model" in one collective
         pooled = jax.lax.psum_scatter(
             partial, "model", scatter_dimension=1, tiled=True
@@ -314,7 +365,7 @@ def make_row_sharded_train_step(
         )  # [T, Bd, dim]
         t, bd, l = batch.indices.shape
         flat_idx = local_ids.reshape(t * bd * l)
-        flat_g = (batch.weights[..., None] * g_full[:, :, None, :]).reshape(
+        flat_g = (w_eff[..., None] * g_full[:, :, None, :]).reshape(
             t * bd * l, plan.dim
         )
         # table shards are replicated over "data": fold in every data shard's
@@ -325,17 +376,37 @@ def make_row_sharded_train_step(
             opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
             impl=config.sparse_update_impl,
             interpret=jax.default_backend() != "tpu",
+            exact_momentum=config.exact_row_momentum,
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             new_state["emb"] = acc2[None]
+        if vw is not None and config.weighted_pooling == "learned":
+            # d loss / d vw[row] += base_w * <g_full, store[row]>
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            gv = (
+                jnp.sum(row_vals * g_full[:, :, None, :], axis=-1)
+                * jnp.where(local_ids < plan.rows_local, batch.weights, 0.0)
+            ).reshape(t * bd * l)
+            vidx = jax.lax.all_gather(
+                local_ids.reshape(-1), "data", tiled=True
+            )
+            gv = jax.lax.all_gather(gv, "data", tiled=True)
+            vacc = opt_state["vw"][0] if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, vw, vacc, vidx, gv, lr, plan.rows_local
+            )
+            new_params["vw"] = vw2[None]
+            if opt.name != "sgd":
+                new_state["vw"] = vacc2[None]
         return new_params, new_state, loss
 
     pspecs = {
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P("model") if config.weighted_pooling is not None else None,
     }
     sspecs = (
         {}
@@ -346,6 +417,11 @@ def make_row_sharded_train_step(
                 "top": [(P(), P())] * (len(config.ln_top) - 1),
             },
             "emb": P("model"),
+            **(
+                {"vw": P("model")}
+                if config.weighted_pooling == "learned"
+                else {}
+            ),
         }
     )
     bspecs = Batch(
@@ -364,6 +440,142 @@ def make_row_sharded_train_step(
     return jax.jit(sharded, donate_argnums=(0, 1))
 
 
+def make_row_sharded_accum_train_step(
+    config: DLRMConfig,
+    plan: RowShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_accum: int,
+    lr_fn=None,
+):
+    """Gradient accumulation over n_accum micro-batches with ONE optimizer
+    step on the row-sharded mesh (--mlperf-grad-accum-iter; every Batch
+    leaf carries a leading [n_accum] axis). Dense grads summed over
+    micro-batches, sparse grads applied in one coalesced update."""
+    if config.weighted_pooling is not None:
+        raise NotImplementedError("grad accumulation with weighted pooling")
+    offs = np.asarray(plan.row_offsets, np.int32)
+    n_model = plan.n_model
+
+    def local_step(params, opt_state, batches, iteration):
+        lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
+        store = params["emb"][0]
+        acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        n_total = mesh.shape["data"] * mesh.shape["model"]
+        dense_params = {"bot": params["bot"], "top": params["top"]}
+
+        def micro(carry, b):
+            g_sum, loss_sum = carry
+            batch = Batch(*b)
+            gid = batch.indices + jnp.asarray(offs)[:, None, None]
+            partial, local_ids, _, _ = _partial_pooled(
+                store, plan, gid, batch.weights
+            )
+            pooled = jax.lax.psum_scatter(
+                partial, "model", scatter_dimension=1, tiled=True
+            )
+            bsz_global = batch.labels.shape[0] * n_total
+
+            def dense_loss(dp, pooled_in):
+                ly = jnp.transpose(pooled_in, (1, 0, 2))
+                d = config.base_dim
+                if plan.dim != d:
+                    k = plan.dim // d
+                    b_loc, t_loc = ly.shape[0], ly.shape[1]
+                    ly = ly.reshape(b_loc, t_loc, k, d).reshape(
+                        b_loc, t_loc * k, d
+                    )
+                cdt = jnp.dtype(config.compute_dtype)
+                x = apply_mlp(batch.dense, dp["bot"], config.sigmoid_bot, cdt)
+                z = interact_features(
+                    x, ly, config.interaction, config.interact_itself, cdt
+                )
+                logits = apply_mlp(
+                    z, dp["top"], config.sigmoid_top, cdt,
+                    skip_last_activation=True,
+                )
+                local = loss_fn(
+                    logits, batch.labels, config.loss, config.loss_threshold,
+                    config.wbce_weights,
+                )
+                return local * (batch.labels.shape[0] / bsz_global)
+
+            loss_share, (g_dense, g_pooled) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1)
+            )(dense_params, pooled)
+            g_full = jax.lax.all_gather(g_pooled, "model", axis=1, tiled=True)
+            g_sum = jax.tree.map(jnp.add, g_sum, g_dense)
+            return (g_sum, loss_sum + loss_share), (local_ids, g_full)
+
+        g0 = jax.tree.map(jnp.zeros_like, dense_params)
+        (g_sum, loss_sum), (ids_stk, g_full_stk) = jax.lax.scan(
+            micro, (g0, jnp.float32(0.0)), tuple(batches)
+        )
+        loss = jax.lax.psum(loss_sum, ("data", "model")) / n_accum
+        g_dense = jax.lax.psum(g_sum, ("data", "model"))
+
+        new_params = dict(params)
+        new_state = dict(opt_state)
+        dp_new, ds_new = update_dense_towers(opt, params, opt_state, g_dense, lr)
+        new_params.update({k: dp_new[k] for k in ("bot", "top")})
+        if opt.name != "sgd":
+            new_state["dense"] = dict(new_state["dense"])
+            new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
+
+        flat_idx = ids_stk.reshape(-1)
+        flat_g = (
+            batches.weights[..., None] * g_full_stk[:, :, :, None, :]
+        ).reshape(-1, plan.dim)
+        flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
+        flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        store2, acc2 = sparse_update(
+            opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
+            impl=config.sparse_update_impl,
+            interpret=jax.default_backend() != "tpu",
+        )
+        new_params["emb"] = store2[None]
+        if opt.name != "sgd":
+            new_state["emb"] = acc2[None]
+        return new_params, new_state, loss
+
+    pspecs = {
+        "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+        "top": [(P(), P())] * (len(config.ln_top) - 1),
+        "emb": P("model"),
+        "vw": P("model") if config.weighted_pooling is not None else None,
+    }
+    sspecs = (
+        {}
+        if opt.name == "sgd"
+        else {
+            "dense": {
+                "bot": [(P(), P())] * (len(config.ln_bot) - 1),
+                "top": [(P(), P())] * (len(config.ln_top) - 1),
+            },
+            "emb": P("model"),
+            **(
+                {"vw": P("model")}
+                if config.weighted_pooling == "learned"
+                else {}
+            ),
+        }
+    )
+    bspecs = Batch(
+        dense=P(None, ("data", "model")),
+        indices=P(None, None, "data"),
+        weights=P(None, None, "data"),
+        labels=P(None, ("data", "model")),
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, sspecs, bspecs, P()),
+        out_specs=(pspecs, sspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mesh):
     """Returns jitted eval(params, batch) -> (preds [B,1], loss)."""
     offs = np.asarray(plan.row_offsets, np.int32)
@@ -371,7 +583,9 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
     def local_eval(params, batch):
         store = params["emb"][0]
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
-        partial, _ = _partial_pooled(store, plan, gid, batch.weights)
+        vw = params.get("vw")
+        vw = vw[0] if vw is not None else None
+        partial, _, _, _ = _partial_pooled(store, plan, gid, batch.weights, vw)
         pooled = jax.lax.psum_scatter(
             partial, "model", scatter_dimension=1, tiled=True
         )
@@ -399,7 +613,7 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P("model") if config.weighted_pooling is not None else None,
     }
     bspecs = Batch(
         dense=P(("data", "model")),
@@ -420,11 +634,13 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
 class RowShardedRunner:
     """Trainer runner for the row-sharded path (--shard-mode=row)."""
 
-    def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123):
+    def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123,
+                 n_accum=1):
         from dlrm_yx_tpu.parallel.mesh import make_mesh
 
         self.config = config
         self.opt = opt
+        self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         self.plan = make_row_plan(config, self.mesh.shape["model"])
         params = init_row_sharded_params(config, self.plan, seed)
@@ -432,14 +648,21 @@ class RowShardedRunner:
         self.params, self.opt_state = shard_row_params(
             self.mesh, params, opt, state
         )
-        self.train_step = make_row_sharded_train_step(
-            config, self.plan, opt, self.mesh, lr_fn
-        )
+        if self.n_accum > 1:
+            self.train_step = make_row_sharded_accum_train_step(
+                config, self.plan, opt, self.mesh, self.n_accum, lr_fn
+            )
+        else:
+            self.train_step = make_row_sharded_train_step(
+                config, self.plan, opt, self.mesh, lr_fn
+            )
         self.eval_step = make_row_sharded_eval_step(config, self.plan, self.mesh)
 
     def prepare_batch(self, b):
         import jax.numpy as jnp
 
+        if np.asarray(b.labels).ndim == 3:  # stacked micro-batches
+            return _shard_stacked_batch(self.mesh, b)
         return shard_row_batch(self.mesh, Batch(*map(jnp.asarray, b)))
 
     def reshard(self, params, opt_state):

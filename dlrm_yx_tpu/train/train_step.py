@@ -139,6 +139,7 @@ def apply_gradients(
             impl=config.sparse_update_impl, interpret=_interpret(),
             stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
             size_class=g.size_class, dim=g.dim,
+            exact_momentum=config.exact_row_momentum,
         )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
@@ -344,6 +345,7 @@ def make_accum_train_step(
                 impl=config.sparse_update_impl, interpret=_interpret(),
                 stochastic_round=config.stochastic_rounding, sr_seed=iteration,
                 size_class=g.size_class, dim=g.dim,
+                exact_momentum=config.exact_row_momentum,
             )
             new_emb.append(store2)
             new_emb_acc.append(acc2)

@@ -96,10 +96,12 @@ class Trainer:
         self.runner = runner
         self.accum = max(1, tcfg.grad_accum_iter)
         if runner is not None and self.accum > 1:
-            raise NotImplementedError(
-                "grad accumulation is single-device only (mesh paths scale "
-                "batch via the 'data' axis instead)"
-            )
+            if getattr(runner, "n_accum", 1) != self.accum:
+                raise ValueError(
+                    f"runner was built with n_accum={getattr(runner, 'n_accum', 1)} "
+                    f"but --mlperf-grad-accum-iter={self.accum}; pass n_accum "
+                    "to the runner"
+                )
         if runner is None:
             if self.accum > 1:
                 self.train_step = make_accum_train_step(

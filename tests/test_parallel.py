@@ -402,3 +402,75 @@ def test_hybrid_weighted_pooling_matches_single_device(pooling, optname):
         p2, s2, loss = step2(p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it)
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape,optname", [
+    ((2, 2), "sgd"),
+    ((1, 4), "rwsadagrad"),
+])
+def test_hybrid_grad_accum_matches_single_device(mesh_shape, optname):
+    """--mlperf-grad-accum-iter on the hybrid mesh: the scan-accumulated
+    step must match the single-device accumulation step (same summed dense
+    grads, one coalesced sparse update; dlrm_s_pytorch.py:1925-1932)."""
+    from dlrm_yx_tpu.parallel.hybrid import make_hybrid_accum_train_step
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    data, model = mesh_shape
+    if data * model > len(jax.devices()):
+        pytest.skip("not enough devices")
+    n_accum = 2
+    cfg = make_cfg(t=4, rows=40, dim=8)
+    opt = OptConfig(name=optname, lr=0.1)
+    seed = 5
+    micros = _make_batches(cfg, n_batches=4, b=8, l=2, seed=21)
+
+    # single-device accumulation reference
+    params1 = init_dlrm(cfg, seed=seed)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state
+
+    s1 = init_opt_state(opt, params1, groups)
+    step1 = make_accum_train_step(cfg, opt, n_accum)
+    losses1 = []
+    p1 = params1
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            jnp.stack([jnp.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        p1, s1, loss = step1(p1, s1, stacked, it)
+        losses1.append(float(loss))
+
+    # hybrid accumulation
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    r = HybridRunner(cfg, opt, data=data, model=model, seed=seed,
+                     n_accum=n_accum, sharder="naive")
+    p2, s2 = r.params, r.opt_state
+    losses2 = []
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            np.stack([np.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        sb = r.prepare_batch(stacked)
+        p2, s2, loss = r.train_step(p2, s2, sb, it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+    got = extract_tables(
+        r.plan, cfg, np.asarray(p2["emb"]), np.asarray(p2["emb_small"])
+    )
+    per_table = {}
+    for g, store in zip(groups, p1["emb"]):
+        s = np.asarray(unpack_store(store, g))
+        for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+            per_table[tid] = s[off : off + n]
+    for t in range(cfg.num_tables):
+        # contributions concatenate in device-major (not canonical) order,
+        # so scatter fp-rounding differs by ~ulp; adagrad-family
+        # normalization (g / sqrt(sum g^2)) amplifies that on rows whose
+        # accumulator is still tiny — hence the looser tolerance here
+        np.testing.assert_allclose(got[t], per_table[t], rtol=5e-4, atol=1e-5)

@@ -48,8 +48,9 @@ def test_sparse_rows_add_matches_reference(dupmax, d):
 
 
 def test_sparse_rows_add_all_same_row_overflows_to_fallback():
-    """Adversarial: every item hits one row -> CMAX overflow -> exact XLA
-    fallback."""
+    """Adversarial: every item hits one row -> all but the first are
+    conflicts -> the serialized tail pass applies them exactly (no capacity
+    limit; the old CMAX + XLA-scatter fallback is gone)."""
     r = np.random.RandomState(1)
     R, D, K = 64 + SENTINEL_ROWS, 128, 2048
     store = r.randn(R, D).astype(np.float32)
@@ -458,3 +459,51 @@ def test_sparse_rows_add_fuzz():
                 rtol=0.05, atol=0.08,
                 err_msg=f"trial {trial}: R={R} K={K} d={d} dupmax={dupmax}",
             )
+
+
+def test_exact_row_momentum_matches_xla_on_duplicates(monkeypatch):
+    """--exact-row-momentum: pallas adagrad-family updates pre-coalesce, so
+    duplicate-heavy steps match the exact XLA path bit-for-bit
+    (grad.coalesce() semantics, /root/reference/optim/rwsadagrad.py:98)."""
+    import dlrm_yx_tpu.optim.optimizer as om
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    r = np.random.RandomState(13)
+    d = 128
+    R = (1 << 12) + SENTINEL_ROWS
+    K = 96  # << R/8: stays on the kernel path
+    for optname in ("adagrad", "rwsadagrad"):
+        opt = OptConfig(optname, 0.05)
+        store = r.randn(R, d).astype(np.float32)
+        acc = (
+            np.abs(r.randn(R, d)).astype(np.float32)
+            if optname == "adagrad"
+            else np.abs(r.randn(R)).astype(np.float32)
+        )
+        idx = r.randint(0, 24, K).astype(np.int32)  # heavy duplicates
+        g = r.randn(K, d).astype(np.float32)
+        exact, acc_exact = om.sparse_update(
+            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+            jnp.asarray(g), 0.05, R, impl="xla",
+        )
+        got, acc_got = om.sparse_update(
+            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+            jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+            exact_momentum=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(exact)[:-SENTINEL_ROWS],
+            np.asarray(got)[:-SENTINEL_ROWS], rtol=1e-5, atol=1e-5,
+            err_msg=optname,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc_exact)[:-SENTINEL_ROWS],
+            np.asarray(acc_got)[:-SENTINEL_ROWS], rtol=1e-5, atol=1e-5,
+            err_msg=optname,
+        )
+        # sanity: without the flag, per-occurrence momentum differs
+        alt, _ = om.sparse_update(
+            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+            jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+        )
+        assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6

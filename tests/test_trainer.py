@@ -299,8 +299,8 @@ def test_shard_mode_rejects_unsupported_variants(mode):
     base = dict(emb_rows=(300, 400), ln_bot=(4, 8, 8), ln_top=(11, 8, 1))
     with pytest.raises(NotImplementedError, match="qr-flag"):
         make(DLRMConfig(**base, qr_flag=True, qr_threshold=100), 2)
-    with pytest.raises(NotImplementedError, match="weighted-pooling"):
-        make(DLRMConfig(**base, weighted_pooling="fixed"), 2)
+    # weighted pooling IS supported on row/col since round 2
+    make(DLRMConfig(**base, weighted_pooling="fixed"), 2)
 
 
 @pytest.mark.parametrize("mode", ["row", "col"])
