@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """D=64, L=1 kernel-path check (the Terabyte-0.875 accuracy config's dims):
 8 x 1M-row 64-dim tables, mb 2048, rwsadagrad, pallas updates.
 Before packed-dim support these updates fell back to the XLA full-store

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Hybrid-parallel 1x1-mesh step time on the real chip (big/small split
 validation): Terabyte-MLPerf arch, 1M-cap tables, mb 2048, rwsadagrad,
 bf16 compute, pallas updates. XPlane-timed."""

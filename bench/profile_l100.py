@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Profile the L=100 d=64 reference-bench config: top TPU ops by time."""
 import collections
 import dataclasses

@@ -185,22 +185,31 @@ def make_trace_batches(
     rng = np.random.RandomState(seed)
     t = len(emb_rows)
     l = num_indices_per_lookup
+    # ONE persistent LRU line-access list per table, mutated across the
+    # whole stream — the reference threads the same line_accesses list
+    # through every generate call (dlrm_data_pytorch.py:1268-1304); a
+    # fresh copy per sample would reset the stack and degenerate the
+    # stream to the stack-top element
+    dists = []
+    for k in range(t):
+        uniques, list_sd, cumm_sd = read_dist_file(
+            dist_file_pattern.replace("j", str(k))
+        )
+        dists.append((list(uniques), list_sd, cumm_sd))
     batches = []
     for _ in range(num_batches):
         dense = rng.rand(mini_batch_size, m_den).astype(np.float32)
         indices = np.zeros((t, mini_batch_size, l), dtype=np.int32)
         weights = np.zeros((t, mini_batch_size, l), dtype=np.float32)
         for k, size in enumerate(emb_rows):
-            uniques, list_sd, cumm_sd = read_dist_file(
-                dist_file_pattern.replace("j", str(k))
-            )
+            uniques, list_sd, cumm_sd = dists[k]
             for b in range(mini_batch_size):
                 if num_indices_per_lookup_fixed:
                     gs = l
                 else:
                     gs = int(max(1, round(float(rng.rand(1)[0]) * min(size, l))))
                 refs = trace_generate_lru(
-                    list(uniques), list_sd, cumm_sd, gs, rng, enable_padding
+                    uniques, list_sd, cumm_sd, gs, rng, enable_padding
                 )
                 group = np.unique(refs).astype(np.int64)
                 if group.min(initial=0) < 0 or group.max(initial=0) >= size:

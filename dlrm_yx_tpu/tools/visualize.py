@@ -79,6 +79,61 @@ def cluster_labels(x: np.ndarray) -> np.ndarray:
 # frequency analysis
 # ---------------------------------------------------------------------------
 
+def collect_frequencies_from_loader(
+    batches, emb_rows, max_batches: int = 0
+) -> List[np.ndarray]:
+    """Accumulate per-table index frequencies from ACTUAL loader batches
+    (any loader yielding framework Batches with [T, B, L] indices) — the
+    reference drives its categorical analysis from the training data the
+    same way (tools/visualize.py:232-316)."""
+    freqs = [np.zeros(n, np.int64) for n in emb_rows]
+    for bi, b in enumerate(batches):
+        if max_batches and bi >= max_batches:
+            break
+        idx = np.asarray(b.indices)
+        w = np.asarray(b.weights)
+        for t, n in enumerate(emb_rows):
+            live = idx[t][w[t] > 0]
+            if live.size:
+                freqs[t] += np.bincount(
+                    np.clip(live.ravel(), 0, n - 1), minlength=n
+                )
+    return freqs
+
+
+def per_feature_analysis(
+    tables: List[np.ndarray],
+    freqs: List[np.ndarray],
+    output_dir: str,
+) -> Dict[str, str]:
+    """The reference's analyse_categorical_counts twin
+    (tools/visualize.py:259-316): per categorical variable, a two-panel
+    figure of access counts (log scale) and embedding row L2 norms."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    out = {}
+    for t, (table, f) in enumerate(zip(tables, freqs)):
+        norms = np.linalg.norm(table, axis=1)
+        fig, (ax0, ax1) = plt.subplots(2, 1, figsize=(8, 8))
+        fig.suptitle(
+            f"Categorical variable {t}: cardinality {len(f)}"
+        )
+        ax0.plot(f)
+        ax0.set_yscale("log")
+        ax0.set_title("Counts", fontsize=10)
+        ax1.plot(norms)
+        ax1.set_title("Norms", fontsize=10)
+        png = os.path.join(output_dir, f"cat_counts-{t:03d}.png")
+        fig.savefig(png)
+        plt.close(fig)
+        out[f"cat_counts_{t}"] = png
+    return out
+
+
 def index_frequencies(indices: np.ndarray, rows: int) -> np.ndarray:
     """Access counts per categorical value from a [B, L] / flat index
     stream (the reference's categorical-frequency analysis,
@@ -197,6 +252,20 @@ def main(argv=None):
     p.add_argument("--freq-npz", type=str, default=None,
                    help="npz with per-table index arrays idx_0..idx_{T-1} "
                         "for frequency coloring")
+    p.add_argument("--freq-source", type=str, default=None,
+                   choices=["random", "synthetic", "bin"],
+                   help="drive categorical frequencies from ACTUAL loader "
+                        "batches instead of a side npz: random/synthetic "
+                        "generators or the --raw-data-file bin loader")
+    p.add_argument("--raw-data-file", type=str, default="")
+    p.add_argument("--data-trace-file", type=str,
+                   default="./input/dist_emb_j.log")
+    p.add_argument("--freq-batches", type=int, default=32)
+    p.add_argument("--mini-batch-size", type=int, default=128)
+    p.add_argument("--num-indices-per-lookup", type=int, default=2)
+    p.add_argument("--per-feature", action="store_true",
+                   help="per-variable counts+norms figures (the "
+                        "reference's analyse_categorical_counts)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -208,14 +277,53 @@ def main(argv=None):
             f"--arch-sparse-feature-size {args.arch_sparse_feature_size} != "
             f"bottom MLP output dim {ln_bot[-1]}"
         )
+    rows = tuple(int(x) for x in args.arch_embedding_size.split("-"))
+    top = tuple(int(x) for x in args.arch_mlp_top.split("-"))
+    # the CLI convention (reference parity): --arch-mlp-top lists
+    # hidden+output dims, the interaction input dim is computed
+    d = ln_bot[-1]
+    f = len(rows) + 1
+    top_in = f * (f - 1) // 2 + d
     config = DLRMConfig(
-        emb_rows=tuple(int(x) for x in args.arch_embedding_size.split("-")),
+        emb_rows=rows,
         ln_bot=ln_bot,
-        ln_top=tuple(int(x) for x in args.arch_mlp_top.split("-")),
+        ln_top=(top_in,) + top if top[0] != top_in else top,
     )
     tables = load_tables_from_checkpoint(args.load_model, config)
     freqs = None
-    if args.freq_npz:
+    if args.freq_source:
+        if args.freq_source == "random":
+            from dlrm_yx_tpu.data.synthetic import (
+                RandomDataConfig,
+                make_random_batches,
+            )
+
+            batches = make_random_batches(RandomDataConfig(
+                emb_rows=config.emb_rows, m_den=config.ln_bot[0],
+                mini_batch_size=args.mini_batch_size,
+                num_batches=args.freq_batches,
+                num_indices_per_lookup=args.num_indices_per_lookup,
+                num_indices_per_lookup_fixed=False, round_targets=True,
+                seed=args.seed,
+            ))
+        elif args.freq_source == "synthetic":
+            from dlrm_yx_tpu.data.trace import make_trace_batches
+
+            batches = make_trace_batches(
+                args.data_trace_file, config.emb_rows, config.ln_bot[0],
+                args.mini_batch_size, args.freq_batches,
+                args.num_indices_per_lookup, False, seed=args.seed,
+            )
+        else:  # bin
+            from dlrm_yx_tpu.data.criteo_bin import CriteoBinLoader
+
+            batches = CriteoBinLoader(
+                args.raw_data_file, batch_size=args.mini_batch_size
+            )
+        freqs = collect_frequencies_from_loader(
+            batches, config.emb_rows, args.freq_batches
+        )
+    elif args.freq_npz:
         with np.load(args.freq_npz) as d:
             freqs = [
                 index_frequencies(d[f"idx_{t}"], n)
@@ -228,6 +336,10 @@ def main(argv=None):
         tables, args.output_dir, args.max_rows, tuple(methods),
         args.cluster, freqs, args.seed,
     )
+    if args.per_feature:
+        if freqs is None:
+            raise SystemExit("--per-feature needs --freq-source/--freq-npz")
+        out.update(per_feature_analysis(tables, freqs, args.output_dir))
     print(json.dumps({k: v for k, v in sorted(out.items())}, indent=1))
 
 

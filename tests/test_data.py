@@ -490,3 +490,31 @@ def test_visualize_tables_pca(tmp_path):
     assert any(k.endswith("_pca") for k in out)
     for path in out.values():
         assert os.path.getsize(path) > 0
+
+
+def test_visualize_e2e_loader_frequencies_and_per_feature(tmp_path):
+    """End-to-end CLI: train + checkpoint, then visualize with categorical
+    frequencies driven from ACTUAL loader batches plus the reference's
+    per-feature counts+norms figures (tools/visualize.py:259-316)."""
+    import os
+
+    from dlrm_yx_tpu.cli import main as cli_main
+    from dlrm_yx_tpu.tools.visualize import main as viz_main
+
+    sm = str(tmp_path / "ck")
+    cli_main([
+        "--arch-embedding-size=300-40-500", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=11-8-1", "--arch-sparse-feature-size=2",
+        "--mini-batch-size=8", "--num-batches=4", "--loss-function=bce",
+        "--round-targets=True", "--test-freq=4", f"--save-model={sm}",
+    ])
+    viz_dir = str(tmp_path / "viz")
+    viz_main([
+        f"--load-model={sm}", "--arch-embedding-size=300-40-500",
+        "--arch-sparse-feature-size=2", "--arch-mlp-bot=4-8-2",
+        "--arch-mlp-top=11-8-1", f"--output-dir={viz_dir}",
+        "--freq-source=random", "--freq-batches=4", "--per-feature",
+    ])
+    files = os.listdir(viz_dir)
+    assert any(f.startswith("cat_counts-") for f in files)
+    assert any(f.endswith("_freq.png") for f in files)
