@@ -1,12 +1,14 @@
-import os, sys
+import os
+import sys
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-"""Hybrid-parallel 1x1-mesh step time on the real chip (big/small split
-validation): Terabyte-MLPerf arch, 1M-cap tables, mb 2048, rwsadagrad,
-bf16 compute, pallas updates. XPlane-timed."""
+"""Hybrid 1x1-mesh step at the reference's 64-dim shapes (8 x 1M tables,
+L=1, mb 2048, rwsadagrad, bf16 compute, pallas updates) — validates the
+PACKED mesh stores end to end on hardware. XPlane-timed."""
 import collections
-import dataclasses
 import glob
 import tempfile
+from functools import partial
 
 import numpy as np
 import jax
@@ -23,33 +25,35 @@ from dlrm_yx_tpu.parallel.hybrid import (
 )
 from dlrm_yx_tpu.parallel.mesh import make_mesh
 from dlrm_yx_tpu.parallel.plan import arrange_sparse_inputs, make_plan
+from dlrm_yx_tpu.ops.mlp import init_mlp
 
 BATCH, L, STEPS = 2048, 1, 30
-cfg = DLRMConfig.terabyte_mlperf(max_ind_range=1_000_000)
-cfg = dataclasses.replace(
-    cfg, compute_dtype="bfloat16", sparse_update_impl="pallas"
+cfg = DLRMConfig(
+    emb_rows=(1_000_000,) * 8,
+    ln_bot=(13, 512, 256, 64),
+    ln_top=(8 * 9 // 2 + 64, 512, 512, 256, 1),
+    compute_dtype="bfloat16",
+    sparse_update_impl="pallas",
 )
 mesh = make_mesh(1, 1)
 plan = make_plan(cfg, 1, "greedy")
-print("plan: r_big", plan.r_big, "r_small", plan.r_small,
-      "n_big_slots", plan.n_big_slots, flush=True)
+print("plan: pack", plan.pack, "r_big", plan.r_big, "r_small", plan.r_small,
+      flush=True)
+assert plan.pack == 2
 
-# device-side init (host init of 13GB-class tables is tunnel-prohibitive)
 rng = np.random.RandomState(0)
-from dlrm_yx_tpu.ops.mlp import init_mlp
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("shape",))
 def draw(key, shape):
     return jax.random.uniform(key, shape, jnp.float32, -0.001, 0.001)
 
+
 params = {
     "bot": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, cfg.ln_bot)],
     "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, cfg.ln_top)],
-    "emb": draw(jax.random.PRNGKey(0), (1, plan.r_big_pad, plan.dim)),
-    "emb_small": draw(jax.random.PRNGKey(1), (1, plan.r_small_pad, plan.dim)),
+    "emb": draw(jax.random.PRNGKey(0), (1,) + plan.store_shape("big")),
+    "emb_small": draw(jax.random.PRNGKey(1), (1,) + plan.store_shape("small")),
     "vw": None,
 }
 opt = OptConfig("rwsadagrad", 0.01)
@@ -69,7 +73,7 @@ for _ in range(4):
 
 params, state, loss = step(params, state, bs[0], 0)
 print("loss0", float(loss), flush=True)
-td = tempfile.mkdtemp(prefix="hyb_")
+td = tempfile.mkdtemp(prefix="hyb64_")
 jax.profiler.start_trace(td)
 for i in range(STEPS):
     params, state, loss = step(params, state, bs[i % 4], i)
@@ -87,6 +91,6 @@ for plane in pd.planes:
         for ev in line.events:
             tot[ev.name] += ev.duration_ns
 total_ms = sum(tot.values()) / STEPS / 1e6
-print(f"hybrid 1x1 step: {total_ms:.3f} ms ({BATCH/total_ms*1000:.0f} ex/s)")
-for name, ns in tot.most_common(8):
-    print(f"{ns/STEPS/1e6:8.3f} ms  {name[:110]}")
+print(f"hybrid d=64 1x1 step: {total_ms:.3f} ms ({BATCH/total_ms*1000:.0f} ex/s)")
+kern = sum(ns for n, ns in tot.items() if "sparse_rows_add" in n) / STEPS / 1e6
+print(f"pallas kernel: {kern:.3f} ms")

@@ -139,18 +139,23 @@ def init_hybrid_params(
     return params
 
 
-def init_hybrid_opt_state(opt: OptConfig, params: Dict) -> Dict:
+def init_hybrid_opt_state(
+    opt: OptConfig, params: Dict, plan: ShardingPlan = None
+) -> Dict:
     if opt.name == "sgd":
         return {}
     dense = {
         k: [(jnp.zeros_like(w), jnp.zeros_like(b)) for (w, b) in params[k]]
         for k in ("bot", "top")
     }
+    pack = plan.pack if plan is not None else 1
+
     def emb_acc(e):
         return (
             jnp.zeros_like(e)
             if opt.name == "adagrad"
-            else jnp.zeros(e.shape[:2], jnp.float32)  # rwsadagrad: per-row
+            # rwsadagrad: one accumulator per LOGICAL row
+            else jnp.zeros((e.shape[0], e.shape[1] * pack), jnp.float32)
         )
 
     state = {
@@ -241,7 +246,7 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 
 def _local_lookup(
     store, offs, indices, weights, r_pad, dim,
-    r_store=None, coll=None, roff=None, qr_op="mult", vw=None,
+    r_store=None, coll=None, roff=None, qr_op="mult", vw=None, pack=1,
 ):
     """Per-shard pooled lookup on the flat [r_pad, dim] store.
     indices/weights: [t_pad, Bd, L]; offs: [t_pad] local row offsets
@@ -267,6 +272,20 @@ def _local_lookup(
         # per-row pooling weights v_W (dlrm_s_pytorch.py:545-548); padding
         # rows carry vw = 0 so clamped gathers contribute nothing
         weights = weights * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
+    if pack > 1:
+        # packed store (sub-128 dims): gather physical rows, mask each
+        # contribution to its lane block, pool, fold blocks (QR needs raw
+        # row values and keeps pack == 1 — see plan.py)
+        assert r_store is None
+        width = dim * pack
+        rows128 = jnp.take(store, safe // pack, axis=0)  # [t,b,l,width]
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // dim
+        mask = blk[None, None, None, :] == (safe % pack)[..., None]
+        pooled128 = jnp.sum(
+            jnp.where(mask, rows128, 0.0) * weights[..., None], axis=2
+        )
+        pooled = pooled128.reshape(t, b, pack, dim).sum(axis=2)
+        return pooled, gidx, rows128, None, None, mask
     q_rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, dim)
     r_rows = None
     is_qr = None
@@ -289,7 +308,7 @@ def _local_lookup(
         pooled = emb[:, :, 0, :] * weights[:, :, 0][..., None]
     else:
         pooled = jnp.sum(weights[..., None] * emb, axis=2)
-    return pooled, gidx, q_rows, r_rows, is_qr
+    return pooled, gidx, q_rows, r_rows, is_qr, None
 
 
 def _slots_from_canonical(ly_can, config: DLRMConfig, md_proj=None):
@@ -411,11 +430,13 @@ def make_hybrid_accum_train_step(
                 parts.append(_local_lookup(
                     store_b, offs[:nb], batch.indices[:nb],
                     batch.weights[:nb], plan.r_big_pad, plan.dim,
+                    pack=plan.pack,
                 ))
             if ns_slots > 0:
                 parts.append(_local_lookup(
                     store_s, offs[nb:], batch.indices[nb:],
                     batch.weights[nb:], plan.r_small_pad, plan.dim,
+                    pack=plan.pack,
                 ))
             pooled = (
                 parts[0][0]
@@ -489,6 +510,27 @@ def make_hybrid_accum_train_step(
         )  # [n_accum, t_pad, bd, l, dim]
         yi = 1
         interp = jax.default_backend() != "tpu"
+
+        def accum_flat(slot_lo, slot_hi, gidx_stk):
+            if plan.pack > 1:
+                width = plan.dim * plan.pack
+                blk = (
+                    jax.lax.broadcasted_iota(jnp.int32, (width,), 0)
+                    // plan.dim
+                )
+                lmask = blk[None, None, None, None, :] == (
+                    gidx_stk % plan.pack
+                )[..., None]
+                g128 = jnp.tile(
+                    g_pooled_stk[:, slot_lo:slot_hi], (1, 1, 1, plan.pack)
+                )[:, :, :, None, :]
+                return jnp.where(
+                    lmask,
+                    batches.weights[:, slot_lo:slot_hi][..., None] * g128,
+                    0.0,
+                ).reshape(-1, width)
+            return w_g[:, slot_lo:slot_hi].reshape(-1, plan.dim)
+
         if nb > 0:
             gidx_stk = ys[yi]
             yi += 1
@@ -496,12 +538,12 @@ def make_hybrid_accum_train_step(
                 gidx_stk.reshape(-1), "data", tiled=True
             )
             fg = jax.lax.all_gather(
-                w_g[:, :nb].reshape(-1, plan.dim), "data", tiled=True
+                accum_flat(0, nb, gidx_stk), "data", tiled=True
             )
             store_b2, acc_b2 = sparse_update(
                 opt, store_b, acc_b, fi, fg, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
-                row_dim=row_dim_b,
+                row_dim=row_dim_b, dim=plan.dim,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b
@@ -511,12 +553,12 @@ def make_hybrid_accum_train_step(
                 gidx_stk.reshape(-1), "data", tiled=True
             )
             fg = jax.lax.all_gather(
-                w_g[:, nb:].reshape(-1, plan.dim), "data", tiled=True
+                accum_flat(nb, plan.t_pad, gidx_stk), "data", tiled=True
             )
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, fi, fg, lr, plan.r_small_pad,
                 impl="xla", interpret=interp, row_dim=row_dim_s,
-                size_class=0,
+                size_class=0, dim=plan.dim,
             )
         else:
             store_s2, acc_s2 = store_s, acc_s
@@ -634,7 +676,7 @@ def make_hybrid_train_step(
                 plan.r_big_pad, plan.dim, r_store,
                 coll[:nb] if coll is not None else None,
                 roff[:nb] if roff is not None else None,
-                config.qr_operation, vw_b,
+                config.qr_operation, vw_b, plan.pack,
             ))
         if ns_slots > 0:
             parts.append(_local_lookup(
@@ -642,7 +684,7 @@ def make_hybrid_train_step(
                 plan.r_small_pad, plan.dim, r_store,
                 coll[nb:] if coll is not None else None,
                 roff[nb:] if roff is not None else None,
-                config.qr_operation, vw_s,
+                config.qr_operation, vw_s, plan.pack,
             ))
 
         def _cat(i):
@@ -653,6 +695,7 @@ def make_hybrid_train_step(
         gidx_b = parts[0][1] if nb > 0 else None
         gidx_s = parts[-1][1] if ns_slots > 0 else None
         q_rows = _cat(2)
+        blk_mask = _cat(5) if plan.pack > 1 else None
         if has_qr:
             r_pack = (
                 _cat(3) if len(parts) == 1 else (
@@ -783,7 +826,26 @@ def make_hybrid_train_step(
 
         def gathered(slot_lo, slot_hi, gidx_sec):
             fi = gidx_sec.reshape(-1)
-            fg = w_g[slot_lo:slot_hi].reshape(-1, plan.dim)
+            if plan.pack > 1:
+                # PHYSICAL update rows: lane-place each contribution in its
+                # logical row's block (ops/embedding.flat_row_grads form)
+                width = plan.dim * plan.pack
+                blk = (
+                    jax.lax.broadcasted_iota(jnp.int32, (width,), 0)
+                    // plan.dim
+                )
+                lmask = (
+                    blk[None, None, None, :]
+                    == (gidx_sec % plan.pack)[..., None]
+                )
+                g128 = jnp.tile(
+                    g_pooled[slot_lo:slot_hi], (1, 1, plan.pack)
+                )[:, :, None, :]
+                fg = jnp.where(
+                    lmask, w_eff[slot_lo:slot_hi][..., None] * g128, 0.0
+                ).reshape(-1, width)
+            else:
+                fg = w_g[slot_lo:slot_hi].reshape(-1, plan.dim)
             return (
                 jax.lax.all_gather(fi, "data", tiled=True),
                 jax.lax.all_gather(fg, "data", tiled=True),
@@ -798,6 +860,7 @@ def make_hybrid_train_step(
                 impl=config.sparse_update_impl, interpret=interp,
                 row_dim=row_dim_b,
                 exact_momentum=config.exact_row_momentum,
+                dim=plan.dim,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b
@@ -810,7 +873,7 @@ def make_hybrid_train_step(
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, idx_sf, g_sf, lr, plan.r_small_pad,
                 impl="xla", interpret=interp, row_dim=row_dim_s,
-                size_class=0,
+                size_class=0, dim=plan.dim,
             )
         else:
             store_s2, acc_s2 = store_s, acc_s
@@ -823,7 +886,17 @@ def make_hybrid_train_step(
             # d loss / d vw[row] += base_w * <g_pooled, store[row]>
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
 
-            gv_all = jnp.sum(q_rows * g_pooled[:, :, None, :], axis=-1) * batch.weights
+            if blk_mask is not None:
+                g128v = jnp.tile(g_pooled, (1, 1, plan.pack))[:, :, None, :]
+                gv_all = (
+                    jnp.sum(jnp.where(blk_mask, q_rows * g128v, 0.0), axis=-1)
+                    * batch.weights
+                )
+            else:
+                gv_all = (
+                    jnp.sum(q_rows * g_pooled[:, :, None, :], axis=-1)
+                    * batch.weights
+                )
 
             def vw_section(vw_sec, vacc_sec, gidx_sec, gv_sec, bound):
                 vidx = jnp.where(
@@ -941,7 +1014,7 @@ class HybridRunner:
         self.plan = make_plan(config, n_model, sharder, allocation)
         self._arrange = arrange_sparse_inputs
         params = init_hybrid_params(config, self.plan, seed)
-        state = init_hybrid_opt_state(opt, params)
+        state = init_hybrid_opt_state(opt, params, self.plan)
         self.params, self.opt_state = shard_params(self.mesh, params, opt, state)
         if self.n_accum > 1:
             self.train_step = make_hybrid_accum_train_step(
@@ -1044,7 +1117,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
                 batch.weights[:nb], plan.r_big_pad, plan.dim, r_store,
                 coll[:nb] if coll is not None else None,
                 roff[:nb] if roff is not None else None,
-                config.qr_operation, vw_b,
+                config.qr_operation, vw_b, plan.pack,
             )[0])
         if ns_slots > 0:
             parts.append(_local_lookup(
@@ -1052,7 +1125,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
                 batch.weights[nb:], plan.r_small_pad, plan.dim, r_store,
                 coll[nb:] if coll is not None else None,
                 roff[nb:] if roff is not None else None,
-                config.qr_operation, vw_s,
+                config.qr_operation, vw_s, plan.pack,
             )[0])
         pooled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         ly_ex = jax.lax.all_to_all(

@@ -67,15 +67,24 @@ class ShardingPlan:
     n_big_slots: int = 0
     r_big: int = 0
     r_small: int = 0
+    # logical rows per 128-lane physical store row (128/dim for sub-128
+    # dims dividing 128 on plain-table plans; 1 with QR/MD, whose lookups
+    # need per-row values) — see ops/embedding.py
+    pack: int = 1
 
     @property
     def r_big_pad(self) -> int:
-        """Rows of the big store (live rows + dead sentinel unit)."""
-        return self.r_big + SENTINEL_ROWS
+        """LOGICAL rows of the big store (live + dead sentinel unit)."""
+        return self.r_big + SENTINEL_ROWS * self.pack
 
     @property
     def r_small_pad(self) -> int:
-        return self.r_small + SENTINEL_ROWS
+        return self.r_small + SENTINEL_ROWS * self.pack
+
+    def store_shape(self, section: str):
+        """Physical per-shard store array shape for 'big' / 'small'."""
+        rows = self.r_big_pad if section == "big" else self.r_small_pad
+        return (rows // self.pack, self.dim * self.pack)
     # QR compression (qr_flag): the QUOTIENT store of a QR table is sharded
     # like a normal table (the planner sees q_rows); the tiny REMAINDER
     # stores are replicated on every shard as one flat [qr_r_rows, dim]
@@ -134,6 +143,9 @@ def make_plan(
         cur_r += _round_up(c, ROW_ALIGN)
     thr = config.emb_split_threshold or 0
     table_device = shard(rows, n_model, alg, allocation)
+    from dlrm_yx_tpu.ops.embedding import dim_pack
+
+    pack = 1 if (qr_ids or config.md_table_ids) else dim_pack(dim)
 
     # per shard: big tables first, then small — the slot partition must be
     # UNIFORM across shards (shard_map code is SPMD), so both sections are
@@ -147,6 +159,8 @@ def make_plan(
     n_small_slots = max(len(ts) for ts in per_small)
     t_pad = n_big_slots + n_small_slots
 
+    align = ROW_ALIGN * pack  # table blocks stay physically 8-row aligned
+
     def layout(per_dev, base):
         """Row offsets per shard starting at base; returns (offsets, extent)."""
         extent = 0
@@ -155,10 +169,10 @@ def make_plan(
             offs, cur = [], base
             for t in ts:
                 offs.append(cur)
-                cur += _round_up(rows[t], ROW_ALIGN)
+                cur += _round_up(rows[t], align)
             out.append(offs)
-            extent = max(extent, cur - base)
-        return out, extent
+            extent = max(extent, cur - base, 0)
+        return out, _round_up(extent, align)
 
     big_offsets, r_big = layout(per_big, 0)
     small_offsets, r_small = layout(per_small, 0)
@@ -173,9 +187,11 @@ def make_plan(
         # padding slots point one past their section's live rows: the gather
         # clamps them onto the section's dead sentinel rows, scatter drops
         row_offsets.extend(
-            big_offsets[d] + [r_big + SENTINEL_ROWS] * (n_big_slots - len(per_big[d]))
+            big_offsets[d]
+            + [r_big + SENTINEL_ROWS * pack] * (n_big_slots - len(per_big[d]))
             + small_offsets[d]
-            + [r_small + SENTINEL_ROWS] * (n_small_slots - len(per_small[d]))
+            + [r_small + SENTINEL_ROWS * pack]
+            * (n_small_slots - len(per_small[d]))
         )
 
     canonical_gather = [0] * len(rows)
@@ -202,6 +218,7 @@ def make_plan(
         n_big_slots=n_big_slots,
         r_big=r_big,
         r_small=r_small,
+        pack=pack,
         slot_coll=slot_coll,
         slot_roff=slot_roff,
         qr_r_rows=cur_r,
@@ -225,7 +242,10 @@ def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table):
         out = big if pos % plan.t_pad < plan.n_big_slots else small
         # MD tables have d_t < dim: zero-padded columns
         out[d, off : off + w.shape[0], : w.shape[1]] = w
-    return big, small
+    return (
+        big.reshape((plan.n_model,) + plan.store_shape("big")),
+        small.reshape((plan.n_model,) + plan.store_shape("small")),
+    )
 
 
 def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb, emb_small=None):
@@ -233,8 +253,14 @@ def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb, emb_small=None):
     checkpoint export / tests). QR tables yield their QUOTIENT store."""
     qr = set(config.qr_table_ids)
     c = config.qr_collisions
-    emb = np.asarray(emb)
-    emb_small = np.asarray(emb_small) if emb_small is not None else None
+    emb = np.asarray(emb).reshape(plan.n_model, plan.r_big_pad, plan.dim)
+    emb_small = (
+        np.asarray(emb_small).reshape(
+            plan.n_model, plan.r_small_pad, plan.dim
+        )
+        if emb_small is not None
+        else None
+    )
     out = {}
     for pos, t in enumerate(plan.device_table_order):
         if t < 0:

@@ -91,6 +91,8 @@ class RowShardPlan:
     rows: tuple
     row_offsets: tuple
     rows_local: int   # ADDRESS-space rows per shard (owner = gid // rows_local)
+    pack: int = 1     # logical rows per 128-lane store row (128/dim for
+                      # sub-128 dims dividing 128 — see ops/embedding.py)
 
     @property
     def total_rows(self) -> int:
@@ -98,9 +100,14 @@ class RowShardPlan:
 
     @property
     def store_rows(self) -> int:
-        """Physical rows per shard store: the address space plus dead
-        sentinel rows (redirect target for the pallas row-RMW kernel)."""
-        return self.rows_local + SENTINEL_ROWS
+        """LOGICAL rows per shard store: the address space plus dead
+        sentinel rows (one full kernel transfer unit)."""
+        return self.rows_local + SENTINEL_ROWS * self.pack
+
+    @property
+    def store_shape(self):
+        """Physical per-shard store array shape."""
+        return (self.store_rows // self.pack, self.dim * self.pack)
 
     @property
     def num_tables(self) -> int:
@@ -112,23 +119,30 @@ def make_row_plan(config: DLRMConfig, n_model: int) -> RowShardPlan:
     dims = set(config.emb_dims)
     if len(dims) != 1:
         raise ValueError("row-sharded plan requires homogeneous table dims")
+    dim = dims.pop()
+    from dlrm_yx_tpu.ops.embedding import dim_pack
+
+    pack = dim_pack(dim)
+    align = ROW_ALIGN * pack  # shard stores stay physically 8-row aligned
     offsets, cur = [], 0
     for n in config.emb_rows:
         offsets.append(cur)
-        cur += _round_up(n, ROW_ALIGN)
-    rows_local = _round_up(cur, n_model * ROW_ALIGN) // n_model
+        cur += _round_up(n, align)
+    rows_local = _round_up(cur, n_model * align) // n_model
     return RowShardPlan(
         n_model=n_model,
-        dim=dims.pop(),
+        dim=dim,
         rows=tuple(config.emb_rows),
         row_offsets=tuple(offsets),
         rows_local=rows_local,
+        pack=pack,
     )
 
 
 def build_row_sharded_emb(plan: RowShardPlan, per_table) -> np.ndarray:
-    """[n_model, store_rows, dim] from per-canonical-table weights (each
-    shard's slice followed by SENTINEL_ROWS dead rows)."""
+    """[n_model, *store_shape] from per-canonical-table weights (each
+    shard's slice followed by dead sentinel rows; sub-128 dims store
+    packed pack-rows-per-physical-row)."""
     flat = np.zeros((plan.total_rows, plan.dim), np.float32)
     for t, w in enumerate(per_table):
         off = plan.row_offsets[t]
@@ -136,14 +150,15 @@ def build_row_sharded_emb(plan: RowShardPlan, per_table) -> np.ndarray:
     flat = flat.reshape(plan.n_model, plan.rows_local, plan.dim)
     out = np.zeros((plan.n_model, plan.store_rows, plan.dim), np.float32)
     out[:, : plan.rows_local] = flat
-    return out
+    return out.reshape((plan.n_model,) + plan.store_shape)
 
 
 def extract_row_sharded_tables(plan: RowShardPlan, emb: np.ndarray):
     """Inverse of build_row_sharded_emb (checkpoint export / tests)."""
-    flat = np.asarray(emb)[:, : plan.rows_local].reshape(
-        plan.total_rows, plan.dim
+    logical = np.asarray(emb).reshape(
+        plan.n_model, plan.store_rows, plan.dim
     )
+    flat = logical[:, : plan.rows_local].reshape(plan.total_rows, plan.dim)
     return [
         flat[off : off + n].copy()
         for off, n in zip(plan.row_offsets, plan.rows)
@@ -182,7 +197,9 @@ def init_row_sharded_params(
     }
 
 
-def init_row_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
+def init_row_sharded_opt_state(
+    opt: OptConfig, params: Dict, plan: RowShardPlan = None
+) -> Dict:
     if opt.name == "sgd":
         return {}
     dense = {
@@ -190,10 +207,12 @@ def init_row_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
         for k in ("bot", "top")
     }
     emb = params["emb"]
+    pack = plan.pack if plan is not None else 1
     acc = (
         jnp.zeros_like(emb)
         if opt.name == "adagrad"
-        else jnp.zeros(emb.shape[:2], jnp.float32)
+        # rwsadagrad: one accumulator per LOGICAL row
+        else jnp.zeros((emb.shape[0], emb.shape[1] * pack), jnp.float32)
     )
     state = {"dense": dense, "emb": acc}
     if params.get("vw") is not None:
@@ -265,10 +284,11 @@ def shard_row_batch(mesh: Mesh, batch: Batch) -> Batch:
 
 def _partial_pooled(store, plan: RowShardPlan, gid, weights, vw=None):
     """Masked pooled-sum over locally-owned rows.
-    gid: [T, Bd, L] global row ids; vw: optional [store_rows] per-row
-    pooling weights (the reference's v_W_l); returns ([T, Bd, dim],
-    local ids with non-owned entries at the rows_local sentinel,
-    effective weights, gathered rows)."""
+    gid: [T, Bd, L] global LOGICAL row ids; vw: optional [store_rows]
+    per-row pooling weights (the reference's v_W_l); returns
+    ([T, Bd, dim], local ids with non-owned entries at the rows_local
+    sentinel, effective weights, gathered PHYSICAL rows [t,b,l,width],
+    lane-block mask or None when pack == 1)."""
     m = jax.lax.axis_index("model")
     base = m * plan.rows_local
     local = gid - base
@@ -278,13 +298,27 @@ def _partial_pooled(store, plan: RowShardPlan, gid, weights, vw=None):
     t, b, l = gid.shape
     if vw is not None:
         w = w * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
-    rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(t, b, l, plan.dim)
-    if l == 1:
-        pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
+    pack = plan.pack
+    if pack > 1:
+        # packed store: gather physical rows, mask to the target lane
+        # block, pool, fold blocks (see ops/embedding.lookup_group)
+        width = plan.dim * pack
+        rows = jnp.take(store, safe // pack, axis=0)  # [t,b,l,width]
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // plan.dim
+        mask = blk[None, None, None, :] == (safe % pack)[..., None]
+        pooled128 = jnp.sum(jnp.where(mask, rows, 0.0) * w[..., None], axis=2)
+        pooled = pooled128.reshape(t, b, pack, plan.dim).sum(axis=2)
     else:
-        pooled = jnp.sum(w[..., None] * rows, axis=2)
+        mask = None
+        rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(
+            t, b, l, plan.dim
+        )
+        if l == 1:
+            pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
+        else:
+            pooled = jnp.sum(w[..., None] * rows, axis=2)
     sent_local = jnp.where(owned & (weights > 0), local, plan.rows_local)
-    return pooled, sent_local.astype(jnp.int32), w, rows
+    return pooled, sent_local.astype(jnp.int32), w, rows, mask
 
 
 def make_row_sharded_train_step(
@@ -309,7 +343,7 @@ def make_row_sharded_train_step(
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
         vw = vw[0] if vw is not None else None
-        partial, local_ids, w_eff, row_vals = _partial_pooled(
+        partial, local_ids, w_eff, row_vals, blk_mask = _partial_pooled(
             store, plan, gid, batch.weights, vw
         )
         # complete the sum AND split the batch over "model" in one collective
@@ -365,9 +399,25 @@ def make_row_sharded_train_step(
         )  # [T, Bd, dim]
         t, bd, l = batch.indices.shape
         flat_idx = local_ids.reshape(t * bd * l)
-        flat_g = (w_eff[..., None] * g_full[:, :, None, :]).reshape(
-            t * bd * l, plan.dim
-        )
+        if plan.pack > 1:
+            # PHYSICAL update rows: lane-place each contribution in its
+            # logical row's block (ops/embedding.flat_row_grads form)
+            width = plan.dim * plan.pack
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // plan.dim
+            )
+            lmask = (
+                blk[None, None, None, :]
+                == (local_ids % plan.pack)[..., None]
+            )
+            g128 = jnp.tile(g_full, (1, 1, plan.pack))[:, :, None, :]
+            flat_g = jnp.where(lmask, w_eff[..., None] * g128, 0.0).reshape(
+                t * bd * l, width
+            )
+        else:
+            flat_g = (w_eff[..., None] * g_full[:, :, None, :]).reshape(
+                t * bd * l, plan.dim
+            )
         # table shards are replicated over "data": fold in every data shard's
         # contributions (same as hybrid.py's all_gather over "data")
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
@@ -377,6 +427,7 @@ def make_row_sharded_train_step(
             impl=config.sparse_update_impl,
             interpret=jax.default_backend() != "tpu",
             exact_momentum=config.exact_row_momentum,
+            dim=plan.dim,
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
@@ -385,8 +436,15 @@ def make_row_sharded_train_step(
             # d loss / d vw[row] += base_w * <g_full, store[row]>
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
 
+            if blk_mask is not None:
+                g128v = jnp.tile(g_full, (1, 1, plan.pack))[:, :, None, :]
+                dots = jnp.sum(
+                    jnp.where(blk_mask, row_vals * g128v, 0.0), axis=-1
+                )
+            else:
+                dots = jnp.sum(row_vals * g_full[:, :, None, :], axis=-1)
             gv = (
-                jnp.sum(row_vals * g_full[:, :, None, :], axis=-1)
+                dots
                 * jnp.where(local_ids < plan.rows_local, batch.weights, 0.0)
             ).reshape(t * bd * l)
             vidx = jax.lax.all_gather(
@@ -468,7 +526,7 @@ def make_row_sharded_accum_train_step(
             g_sum, loss_sum = carry
             batch = Batch(*b)
             gid = batch.indices + jnp.asarray(offs)[:, None, None]
-            partial, local_ids, _, _ = _partial_pooled(
+            partial, local_ids, w_eff_m, _, _ = _partial_pooled(
                 store, plan, gid, batch.weights
             )
             pooled = jax.lax.psum_scatter(
@@ -523,15 +581,29 @@ def make_row_sharded_accum_train_step(
             new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
 
         flat_idx = ids_stk.reshape(-1)
-        flat_g = (
-            batches.weights[..., None] * g_full_stk[:, :, :, None, :]
-        ).reshape(-1, plan.dim)
+        if plan.pack > 1:
+            width = plan.dim * plan.pack
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // plan.dim
+            )
+            lmask = blk[None, None, None, None, :] == (
+                ids_stk % plan.pack
+            )[..., None]
+            g128 = jnp.tile(g_full_stk, (1, 1, 1, plan.pack))[:, :, :, None, :]
+            flat_g = jnp.where(
+                lmask, batches.weights[..., None] * g128, 0.0
+            ).reshape(-1, width)
+        else:
+            flat_g = (
+                batches.weights[..., None] * g_full_stk[:, :, :, None, :]
+            ).reshape(-1, plan.dim)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
         store2, acc2 = sparse_update(
             opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
             impl=config.sparse_update_impl,
             interpret=jax.default_backend() != "tpu",
+            dim=plan.dim,
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
@@ -585,7 +657,7 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
         vw = vw[0] if vw is not None else None
-        partial, _, _, _ = _partial_pooled(store, plan, gid, batch.weights, vw)
+        partial, _, _, _, _ = _partial_pooled(store, plan, gid, batch.weights, vw)
         pooled = jax.lax.psum_scatter(
             partial, "model", scatter_dimension=1, tiled=True
         )
@@ -644,7 +716,7 @@ class RowShardedRunner:
         self.mesh = make_mesh(data, model)
         self.plan = make_row_plan(config, self.mesh.shape["model"])
         params = init_row_sharded_params(config, self.plan, seed)
-        state = init_row_sharded_opt_state(opt, params)
+        state = init_row_sharded_opt_state(opt, params, self.plan)
         self.params, self.opt_state = shard_row_params(
             self.mesh, params, opt, state
         )

@@ -141,7 +141,7 @@ def test_hybrid_matches_single_device(mesh_shape, optname):
     mesh = make_mesh(data, model)
     plan = make_plan(cfg, n_model=model, alg="greedy")
     params2 = init_hybrid_params(cfg, plan, seed=seed)
-    s2 = init_hybrid_opt_state(opt, params2)
+    s2 = init_hybrid_opt_state(opt, params2, plan)
     params2, s2 = shard_params(mesh, params2, opt, s2)
     step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
     losses2 = []
@@ -288,7 +288,7 @@ def test_hybrid_qr_matches_single_device(op, optname):
     plan = make_plan(cfg, n_model=2, alg="greedy")
     assert plan.qr_r_rows > 0
     p2 = init_hybrid_params(cfg, plan, seed=5)
-    s2 = init_hybrid_opt_state(opt, p2)
+    s2 = init_hybrid_opt_state(opt, p2, plan)
     p2, s2 = shard_params(mesh, p2, opt, s2)
     step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
     losses2 = []
@@ -355,7 +355,7 @@ def test_hybrid_md_matches_single_device(optname):
     mesh = make_mesh(2, 2)
     plan = make_plan(cfg, n_model=2, alg="greedy")
     p2 = init_hybrid_params(cfg, plan, seed=6)
-    s2 = init_hybrid_opt_state(opt, p2)
+    s2 = init_hybrid_opt_state(opt, p2, plan)
     p2, s2 = shard_params(mesh, p2, opt, s2)
     step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
     losses2 = []
@@ -393,7 +393,7 @@ def test_hybrid_weighted_pooling_matches_single_device(pooling, optname):
     mesh = make_mesh(2, 2)
     plan = make_plan(cfg, n_model=2, alg="greedy")
     p2 = init_hybrid_params(cfg, plan, seed=4)
-    s2 = init_hybrid_opt_state(opt, p2)
+    s2 = init_hybrid_opt_state(opt, p2, plan)
     p2, s2 = shard_params(mesh, p2, opt, s2)
     step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
     losses2 = []

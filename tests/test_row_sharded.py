@@ -63,7 +63,9 @@ def test_row_sharded_emb_roundtrip():
     rng = np.random.RandomState(0)
     tables = [rng.randn(n, 4).astype(np.float32) for n in cfg.emb_rows]
     emb = build_row_sharded_emb(plan, tables)
-    assert emb.shape == (4, plan.store_rows, 4)  # incl. sentinel rows
+    # dim 4 divides 128 -> stores pack 32 logical rows per physical row
+    assert plan.pack == 32
+    assert emb.shape == (4,) + plan.store_shape
     back = extract_row_sharded_tables(plan, emb)
     for a, b in zip(tables, back):
         np.testing.assert_array_equal(a, b)
@@ -97,7 +99,7 @@ def test_row_sharded_matches_single_device(mesh_shape, optname):
     mesh = make_mesh(data, model)
     plan = make_row_plan(cfg, n_model=model)
     p2 = init_row_sharded_params(cfg, plan, seed=seed)
-    s2 = init_row_sharded_opt_state(opt, p2)
+    s2 = init_row_sharded_opt_state(opt, p2, plan)
     p2, s2 = shard_row_params(mesh, p2, opt, s2)
     step2 = make_row_sharded_train_step(cfg, plan, opt, mesh)
     losses2 = []
@@ -190,7 +192,7 @@ def test_row_sharded_pallas_impl_matches_xla():
     for c in (cfg, cfg_p):
         plan = make_row_plan(c, n_model=2)
         p = init_row_sharded_params(c, plan, seed=11)
-        s = init_row_sharded_opt_state(opt, p)
+        s = init_row_sharded_opt_state(opt, p, plan)
         p, s = shard_row_params(mesh, p, opt, s)
         step = make_row_sharded_train_step(c, plan, opt, mesh)
         ls = []
