@@ -188,14 +188,22 @@ def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
         wait_write(slot)  # write issued W items ago on this slot
         accumulate(slot, s)
         write(slot, s)
-
-        @pl.when(s + W < bk)
-        def _():
-            read(slot, s + W)
-
+        read(slot, s + W)
         return 0
 
-    jax.lax.fori_loop(W, bk, body2, 0)
+    # split the tail off instead of a per-item @pl.when(s + W < bk) guard:
+    # a branch per item costs ~2x on the scalar core (it stalls DMA issue)
+    jax.lax.fori_loop(W, bk - W, body2, 0)
+
+    def body3(s, _):  # last W items: nothing left to prefetch
+        slot = s % W
+        wait_read(slot)
+        wait_write(slot)
+        accumulate(slot, s)
+        write(slot, s)
+        return 0
+
+    jax.lax.fori_loop(bk - W, bk, body3, 0)
     for s in range(W):  # drain writes (also orders cross-block hazards)
         wait_write(s)
 
