@@ -73,7 +73,8 @@ def init_hybrid_params(
     rng = np.random.RandomState(seed)
     qr_ids = set(config.qr_table_ids)
     spec_by_id = {s.table_id: s for s in qr_specs(config)}
-    per_table = []
+    concat = bool(qr_ids) and config.qr_operation == "concat"
+    per_table = []  # indexed by PSEUDO id (identity unless QR concat)
     qr_r = (
         np.zeros((plan.qr_r_rows, plan.dim), np.float32)
         if plan.qr_r_rows
@@ -87,8 +88,12 @@ def init_hybrid_params(
         if t in qr_ids:
             q, r = init_qr(rng, spec_by_id[t])
             per_table.append(q)
-            off = roff_by_table[t]
-            qr_r[off : off + r.shape[0]] = r
+            if concat:
+                # remainder is its own pseudo-table in the sharded stores
+                per_table.append(r)
+            else:
+                off = roff_by_table[t]
+                qr_r[off : off + r.shape[0]] = r
         else:
             bound = np.sqrt(1.0 / n)
             per_table.append(
@@ -114,13 +119,13 @@ def init_hybrid_params(
         # v_W = ones per real row (dlrm_s_pytorch.py:313-316), zero padding
         vw = np.zeros((plan.n_model, plan.r_big_pad), np.float32)
         vw_small = np.zeros((plan.n_model, plan.r_small_pad), np.float32)
-        for pos, tt in enumerate(plan.device_table_order):
-            if tt < 0:
+        for pos, pid in enumerate(plan.device_table_order):
+            if pid < 0:
                 continue
             dsh = pos // plan.t_pad
             off = plan.row_offsets[pos]
             dst = vw if pos % plan.t_pad < plan.n_big_slots else vw_small
-            dst[dsh, off : off + config.emb_rows[tt]] = 1.0
+            dst[dsh, off : off + plan.pseudo_rows[pid]] = 1.0
         vw = jnp.asarray(vw)
         vw_small = jnp.asarray(vw_small)
     params = {
@@ -247,6 +252,7 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 def _local_lookup(
     store, offs, indices, weights, r_pad, dim,
     r_store=None, coll=None, roff=None, qr_op="mult", vw=None, pack=1,
+    xform=None, collisions=1,
 ):
     """Per-shard pooled lookup on the flat [r_pad, dim] store.
     indices/weights: [t_pad, Bd, L]; offs: [t_pad] local row offsets
@@ -261,7 +267,17 @@ def _local_lookup(
     values are needed again for the mult-combine chain rule.
     """
     t, b, l = indices.shape
-    if r_store is not None:
+    if xform is not None:
+        # QR 'concat' pseudo-slots: 1 = quotient (idx // c), 2 = remainder
+        # (idx % c) — plain lookups with a per-slot index transform, no
+        # combine (QREmbeddingBag concat semantics)
+        xf = xform[:, None, None]
+        qidx = jnp.where(
+            xf == 1,
+            indices // collisions,
+            jnp.where(xf == 2, indices % collisions, indices),
+        )
+    elif r_store is not None:
         c = jnp.maximum(coll, 1)[:, None, None]
         qidx = jnp.where(coll[:, None, None] > 0, indices // c, indices)
     else:
@@ -349,18 +365,16 @@ def _row_dim_tables(config: DLRMConfig, plan: ShardingPlan):
     small = _np.full(
         (plan.n_model, plan.r_small_pad), float(plan.dim), _np.float32
     )
-    for pos, tt in enumerate(plan.device_table_order):
-        if tt < 0:
+    for pos, pid in enumerate(plan.device_table_order):
+        if pid < 0:
             continue
         dsh = pos // plan.t_pad
         off = plan.row_offsets[pos]
         dst = big if pos % plan.t_pad < nb else small
-        nrows = (
-            int(_np.ceil(config.emb_rows[tt] / c))
-            if tt in qr_ids
-            else config.emb_rows[tt]
+        nrows = plan.pseudo_rows[pid]
+        dst[dsh, off : off + nrows] = float(
+            config.emb_dims[plan.pseudo_table[pid]]
         )
-        dst[dsh, off : off + nrows] = float(config.emb_dims[tt])
     return big, small
 
 
@@ -630,6 +644,19 @@ def make_hybrid_train_step(
     coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
     roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
     has_qr = plan.qr_r_rows > 0
+    # QR 'concat' pseudo-slot index transforms (0/1/2 per slot)
+    has_xf = any(plan.pseudo_xform)
+    xform_all = (
+        np.asarray(
+            [
+                plan.pseudo_xform[pid] if pid >= 0 else 0
+                for pid in plan.device_table_order
+            ],
+            np.int32,
+        ).reshape(n_model, plan.t_pad)
+        if has_xf
+        else None
+    )
     # per-row true dims (MD zero-padded columns) for rwsadagrad momentum,
     # one array per store section
     row_dim_big_all = row_dim_small_all = None
@@ -666,6 +693,11 @@ def make_hybrid_train_step(
         vw_b = vw_b[0] if vw_b is not None else None
         vw_s = params.get("vw_small")
         vw_s = vw_s[0] if vw_s is not None else None
+        xf = None
+        if xform_all is not None:
+            xf = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(xform_all), m, 0, keepdims=False
+            )
         # per-section lookups: slots [0, nb) on the big store, the rest on
         # the small store; slot order matches device_table_order so the
         # concatenated pooled tensor feeds the same all-to-all + gather
@@ -677,6 +709,7 @@ def make_hybrid_train_step(
                 coll[:nb] if coll is not None else None,
                 roff[:nb] if roff is not None else None,
                 config.qr_operation, vw_b, plan.pack,
+                xf[:nb] if xf is not None else None, config.qr_collisions,
             ))
         if ns_slots > 0:
             parts.append(_local_lookup(
@@ -685,6 +718,7 @@ def make_hybrid_train_step(
                 coll[nb:] if coll is not None else None,
                 roff[nb:] if roff is not None else None,
                 config.qr_operation, vw_s, plan.pack,
+                xf[nb:] if xf is not None else None, config.qr_collisions,
             ))
 
         def _cat(i):
@@ -1093,6 +1127,18 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
     coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
     roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
     has_qr = plan.qr_r_rows > 0
+    has_xf = any(plan.pseudo_xform)
+    xform_all = (
+        np.asarray(
+            [
+                plan.pseudo_xform[pid] if pid >= 0 else 0
+                for pid in plan.device_table_order
+            ],
+            np.int32,
+        ).reshape(n_model, plan.t_pad)
+        if has_xf
+        else None
+    )
 
     def local_eval(params, batch):
         m = jax.lax.axis_index("model")
@@ -1110,6 +1156,11 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
         vw_b = vw_b[0] if vw_b is not None else None
         vw_s = params.get("vw_small")
         vw_s = vw_s[0] if vw_s is not None else None
+        xf = None
+        if xform_all is not None:
+            xf = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(xform_all), m, 0, keepdims=False
+            )
         parts = []
         if nb > 0:
             parts.append(_local_lookup(
@@ -1118,6 +1169,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
                 coll[:nb] if coll is not None else None,
                 roff[:nb] if roff is not None else None,
                 config.qr_operation, vw_b, plan.pack,
+                xf[:nb] if xf is not None else None, config.qr_collisions,
             )[0])
         if ns_slots > 0:
             parts.append(_local_lookup(
@@ -1126,6 +1178,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
                 coll[nb:] if coll is not None else None,
                 roff[nb:] if roff is not None else None,
                 config.qr_operation, vw_s, plan.pack,
+                xf[nb:] if xf is not None else None, config.qr_collisions,
             )[0])
         pooled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         ly_ex = jax.lax.all_to_all(

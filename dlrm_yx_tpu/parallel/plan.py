@@ -67,6 +67,18 @@ class ShardingPlan:
     n_big_slots: int = 0
     r_big: int = 0
     r_small: int = 0
+    # pseudo-table expansion for QR 'concat' (out_dim 2D -> the table
+    # contributes TWO canonical slots, quotient then remainder, each a
+    # plain D-wide table in the sharded stores — concat needs NO combine,
+    # so unlike mult/add there is no replicated remainder store and no
+    # chain rule; identity mapping otherwise):
+    #   pseudo_table[pid] = canonical table id
+    #   pseudo_xform[pid] = 0 plain | 1 idx//c | 2 idx%c
+    #   pseudo_rows[pid]  = rows of the pseudo-table
+    # device_table_order / canonical_gather / row_offsets index PSEUDO ids.
+    pseudo_table: Tuple[int, ...] = ()
+    pseudo_xform: Tuple[int, ...] = ()
+    pseudo_rows: Tuple[int, ...] = ()
     # logical rows per 128-lane physical store row (128/dim for sub-128
     # dims dividing 128 on plain-table plans; 1 with QR/MD, whose lookups
     # need per-row values) — see ops/embedding.py
@@ -128,19 +140,39 @@ def make_plan(
     # (combine happens before pooling inside the shard; remainder stores
     # are replicated). 'concat' changes the slot dim — unsupported here.
     qr_ids = set(config.qr_table_ids)
-    if qr_ids and config.qr_operation == "concat":
-        raise ValueError("hybrid-parallel QR supports mult/add, not concat")
     c = config.qr_collisions
-    rows = tuple(
-        int(np.ceil(n / c)) if t in qr_ids else n
-        for t, n in enumerate(config.emb_rows)
-    )
-    # replicated remainder-store layout, one block per QR table
+    concat = bool(qr_ids) and config.qr_operation == "concat"
+    if concat:
+        # expand QR tables into (quotient, remainder) pseudo-tables; both
+        # are plain tables in the sharded stores (adjacent canonical slots
+        # match torch's concat order [q ; r])
+        pseudo_table, pseudo_xform, pseudo_rows = [], [], []
+        for tt, n in enumerate(config.emb_rows):
+            if tt in qr_ids:
+                pseudo_table += [tt, tt]
+                pseudo_xform += [1, 2]
+                pseudo_rows += [int(np.ceil(n / c)), c]
+            else:
+                pseudo_table.append(tt)
+                pseudo_xform.append(0)
+                pseudo_rows.append(n)
+        rows = tuple(pseudo_rows)
+    else:
+        pseudo_table = list(range(len(config.emb_rows)))
+        pseudo_xform = [0] * len(config.emb_rows)
+        rows = tuple(
+            int(np.ceil(n / c)) if tt in qr_ids else n
+            for tt, n in enumerate(config.emb_rows)
+        )
+        pseudo_rows = list(rows)
+    # replicated remainder-store layout for the mult/add combines (concat
+    # has no combine, so no replicated store)
     r_offs: dict = {}
     cur_r = 0
-    for t in sorted(qr_ids):
-        r_offs[t] = cur_r
-        cur_r += _round_up(c, ROW_ALIGN)
+    if not concat:
+        for tt in sorted(qr_ids):
+            r_offs[tt] = cur_r
+            cur_r += _round_up(c, ROW_ALIGN)
     thr = config.emb_split_threshold or 0
     table_device = shard(rows, n_model, alg, allocation)
     from dlrm_yx_tpu.ops.embedding import dim_pack
@@ -200,7 +232,7 @@ def make_plan(
             canonical_gather[t] = pos
 
     slot_coll = tuple(
-        (c if t in qr_ids else 0) if t >= 0 else 0
+        (c if (not concat and t in qr_ids) else 0) if t >= 0 else 0
         for t in device_table_order
     )
     slot_roff = tuple(
@@ -222,6 +254,9 @@ def make_plan(
         slot_coll=slot_coll,
         slot_roff=slot_roff,
         qr_r_rows=cur_r,
+        pseudo_table=tuple(pseudo_table),
+        pseudo_xform=tuple(pseudo_xform),
+        pseudo_rows=tuple(pseudo_rows),
     )
 
 
@@ -251,8 +286,6 @@ def build_sharded_emb(plan: ShardingPlan, config: DLRMConfig, per_table):
 def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb, emb_small=None):
     """Inverse of build_sharded_emb: per-canonical-table weights (for
     checkpoint export / tests). QR tables yield their QUOTIENT store."""
-    qr = set(config.qr_table_ids)
-    c = config.qr_collisions
     emb = np.asarray(emb).reshape(plan.n_model, plan.r_big_pad, plan.dim)
     emb_small = (
         np.asarray(emb_small).reshape(
@@ -262,19 +295,18 @@ def extract_tables(plan: ShardingPlan, config: DLRMConfig, emb, emb_small=None):
         else None
     )
     out = {}
-    for pos, t in enumerate(plan.device_table_order):
-        if t < 0:
+    for pos, pid in enumerate(plan.device_table_order):
+        if pid < 0:
             continue
+        if plan.pseudo_xform[pid] == 2:
+            continue  # concat remainder slot: canonical extract = quotient
+        tt = plan.pseudo_table[pid]
         d = pos // plan.t_pad
         off = plan.row_offsets[pos]
-        n = (
-            int(np.ceil(config.emb_rows[t] / c))
-            if t in qr
-            else config.emb_rows[t]
-        )
+        n = plan.pseudo_rows[pid]
         src = emb if pos % plan.t_pad < plan.n_big_slots else emb_small
-        out[t] = np.asarray(src[d, off : off + n, : config.emb_dims[t]])
-    return [out[t] for t in range(plan.num_tables)]
+        out[tt] = np.asarray(src[d, off : off + n, : config.emb_dims[tt]])
+    return [out[tt] for tt in range(len(config.emb_rows))]
 
 
 def arrange_sparse_inputs(
@@ -286,10 +318,11 @@ def arrange_sparse_inputs(
     This is the TPU equivalent of the reference's per-rank input re-layout
     (``distribute_batched_emb_data``, dlrm_s_pytorch.py:772-824)."""
     order = np.asarray(plan.device_table_order)
+    src = np.asarray(plan.pseudo_table)
     _, b, l = indices.shape
     out_i = np.zeros((len(order), b, l), dtype=indices.dtype)
     out_w = np.zeros((len(order), b, l), dtype=weights.dtype)
     valid = order >= 0
-    out_i[valid] = indices[order[valid]]
-    out_w[valid] = weights[order[valid]]
+    out_i[valid] = indices[src[order[valid]]]
+    out_w[valid] = weights[src[order[valid]]]
     return out_i, out_w

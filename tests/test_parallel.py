@@ -310,15 +310,66 @@ def test_hybrid_qr_matches_single_device(op, optname):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_hybrid_qr_concat_rejected():
-    # concat doubles the QR slot dim: F grows, so ln_top[0] is 2 slots wider
+@pytest.mark.parametrize("optname", ["sgd", "rwsadagrad"])
+def test_hybrid_qr_concat_matches_single_device(optname):
+    """QR 'concat' through the hybrid path: each QR table expands into
+    (quotient, remainder) pseudo-tables — plain sharded lookups with a
+    per-slot index transform, no combine and no replicated remainder store
+    (QREmbeddingBag concat semantics) — and must match the single-device
+    concat path."""
+    # 3 QR tables -> slots = 1 plain + 3*2 = 7, F = 8
+    f = 8
     cfg = DLRMConfig(
-        emb_rows=(500, 40), ln_bot=(4, 8, 4),
-        ln_top=(4 * 3 // 2 + 4, 8, 1),
-        qr_flag=True, qr_threshold=200, qr_operation="concat",
+        emb_rows=(500, 300, 40, 700),
+        ln_bot=(4, 8, 4),
+        ln_top=(f * (f - 1) // 2 + 4, 8, 1),
+        qr_flag=True, qr_threshold=200, qr_collisions=4,
+        qr_operation="concat",
     )
-    with pytest.raises(ValueError, match="concat"):
-        make_plan(cfg, n_model=2)
+    opt = OptConfig(optname, 0.1)
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=19)
+
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+
+    params1 = init_dlrm(cfg, seed=5)
+    step1 = make_train_step(cfg, opt)
+    p1, s1 = params1, init_s(opt, params1, model_groups(cfg))
+    losses1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    mesh = make_mesh(2, 2)
+    plan = make_plan(cfg, n_model=2, alg="greedy")
+    assert plan.qr_r_rows == 0 and any(plan.pseudo_xform)
+    assert len(plan.pseudo_table) == 7  # 1 plain + 3 x (q, r)
+    p2 = init_hybrid_params(cfg, plan, seed=5)
+    s2 = init_hybrid_opt_state(opt, p2, plan)
+    p2, s2 = shard_params(mesh, p2, opt, s2)
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    losses2 = []
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        p2, s2, loss = step2(
+            p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it
+        )
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+    # eval parity too
+    from dlrm_yx_tpu.parallel.hybrid import make_hybrid_eval_step as mkev
+    from dlrm_yx_tpu.train.train_step import make_eval_step
+
+    ev1 = make_eval_step(cfg)
+    preds1, _ = ev1(p1, Batch(*map(jnp.asarray, batches[0])))
+    ev2 = mkev(cfg, plan, mesh)
+    b = batches[0]
+    ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+    preds2, _ = ev2(p2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)))
+    np.testing.assert_allclose(
+        np.asarray(preds1), np.asarray(preds2), rtol=1e-5, atol=1e-6
+    )
 
 
 @pytest.mark.parametrize("optname", ["sgd", "rwsadagrad"])
