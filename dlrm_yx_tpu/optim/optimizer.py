@@ -316,9 +316,17 @@ def sparse_update(
             mom = jnp.sum(g3 * g3, axis=-1) / row_dim.reshape(
                 store.shape[0], pack
             )
-        acc = acc + mom.reshape(acc.shape)
+        # the accumulator may be padded past the logical rows (callers that
+        # carry it 2-D across shard_map boundaries round it to 128)
+        r_log = store.shape[0] * pack
+        mom_flat = mom.reshape(r_log)
+        if acc.shape[0] != r_log:
+            acc = acc.at[:r_log].add(mom_flat)
+        else:
+            acc = acc + mom_flat
         denom3 = (
-            jnp.sqrt(acc.reshape(store.shape[0], pack))[..., None] + opt.eps
+            jnp.sqrt(acc[:r_log].reshape(store.shape[0], pack))[..., None]
+            + opt.eps
         )
         upd = store.astype(jnp.float32) - lr * (g3 / denom3).reshape(
             store.shape

@@ -156,12 +156,17 @@ def init_hybrid_opt_state(
     pack = plan.pack if plan is not None else 1
 
     def emb_acc(e):
-        return (
-            jnp.zeros_like(e)
-            if opt.name == "adagrad"
-            # rwsadagrad: one accumulator per LOGICAL row
-            else jnp.zeros((e.shape[0], e.shape[1] * pack), jnp.float32)
-        )
+        if opt.name == "adagrad":
+            return jnp.zeros_like(e)
+        # rwsadagrad: one accumulator per LOGICAL row, carried 2-D as
+        # [ceil(R/128), 128] — a [1, R] boundary value gets a T(1,128)
+        # layout and XLA pays ~0.6 ms of chunked relayout while-loops per
+        # step converting it to the 1-D T(1024) form the scatters want;
+        # the 2-D form crosses the shard_map boundary in the native
+        # (8,128) tiling and flattens to 1-D as a bitcast
+        n_log = e.shape[1] * pack
+        n128 = (n_log + 127) // 128 * 128
+        return jnp.zeros((e.shape[0], n128 // 128, 128), jnp.float32)
 
     state = {
         "dense": dense,
@@ -330,7 +335,8 @@ def _local_lookup(
 def _slots_from_canonical(ly_can, config: DLRMConfig, md_proj=None):
     """[T, b, dim] canonical pooled -> [b, S, D] interaction slots
     (split trick for dim = k*D; MD tables sliced to d_t and up-projected
-    with PrEmbeddingBag's Linear AFTER the exchange)."""
+    with PrEmbeddingBag's Linear AFTER the exchange). With QR concat the
+    leading axis is canonical SLOTS (each dim D) rather than tables."""
     t, b, dim = ly_can.shape
     d = config.base_dim
     if config.md_table_ids:
@@ -343,6 +349,16 @@ def _slots_from_canonical(ly_can, config: DLRMConfig, md_proj=None):
                 y = jnp.dot(y[:, :dt], md_proj[md_ids[tid]])
             slots.append(y)
         return jnp.stack(slots, axis=1)
+    if t == len(config.emb_dims) and len(set(config.emb_dims)) > 1:
+        # arbitrary k*D mixes: slice each table's true dim off the padded
+        # slot, split into its k_t sub-slots (dlrm_s_pytorch.py:579-585)
+        slots = []
+        for tid, dt in enumerate(config.emb_dims):
+            k_t = dt // d
+            slots.append(
+                jnp.transpose(ly_can[tid, :, :dt].reshape(b, k_t, d), (1, 0, 2))
+            )
+        return jnp.transpose(jnp.concatenate(slots, axis=0), (1, 0, 2))
     k = dim // d
     if k == 1:
         return jnp.transpose(ly_can, (1, 0, 2))
@@ -408,10 +424,10 @@ def make_hybrid_accum_train_step(
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
     row_dim_big_all = row_dim_small_all = None
-    if config.md_table_ids and opt.name == "rwsadagrad":
-        # reuse the per-section row-dim tables from the plain step builder
-        tmp = _row_dim_tables(config, plan)
-        row_dim_big_all, row_dim_small_all = tmp
+    if opt.name == "rwsadagrad" and (
+        config.md_table_ids or len(set(config.emb_dims)) > 1
+    ):
+        row_dim_big_all, row_dim_small_all = _row_dim_tables(config, plan)
 
     def local_step(params, opt_state, batches, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
@@ -423,6 +439,9 @@ def make_hybrid_accum_train_step(
         store_s = params["emb_small"][0]
         acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
         acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc_b = acc_b.reshape(-1)
+            acc_s = acc_s.reshape(-1)
         row_dim_b = row_dim_s = None
         if row_dim_big_all is not None:
             row_dim_b = jax.lax.dynamic_index_in_dim(
@@ -579,6 +598,9 @@ def make_hybrid_accum_train_step(
         new_params["emb"] = store_b2[None]
         new_params["emb_small"] = store_s2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc_b2 = acc_b2.reshape(-1, 128)
+                acc_s2 = acc_s2.reshape(-1, 128)
             new_state["emb"] = acc_b2[None]
             new_state["emb_small"] = acc_s2[None]
         return new_params, new_state, loss
@@ -660,7 +682,11 @@ def make_hybrid_train_step(
     # per-row true dims (MD zero-padded columns) for rwsadagrad momentum,
     # one array per store section
     row_dim_big_all = row_dim_small_all = None
-    if config.md_table_ids and opt.name == "rwsadagrad":
+    if opt.name == "rwsadagrad" and (
+        config.md_table_ids or len(set(config.emb_dims)) > 1
+    ):
+        # zero-padded columns (MD or mixed k*D dims): per-row momentum must
+        # normalize by the TRUE dim (rwsadagrad.py:108)
         row_dim_big_all, row_dim_small_all = _row_dim_tables(config, plan)
 
     def local_step(params, opt_state, batch, iteration):
@@ -671,6 +697,9 @@ def make_hybrid_train_step(
         store_s = params["emb_small"][0]  # small-table shard [r_small_pad, dim]
         acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
         acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc_b = acc_b.reshape(-1)  # bitcast: [n128, 128] -> [R128]
+            acc_s = acc_s.reshape(-1)
         row_dim_b = row_dim_s = None
         if row_dim_big_all is not None:
             row_dim_b = jax.lax.dynamic_index_in_dim(
@@ -914,6 +943,9 @@ def make_hybrid_train_step(
         new_params["emb"] = store_b2[None]
         new_params["emb_small"] = store_s2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc_b2 = acc_b2.reshape(-1, 128)
+                acc_s2 = acc_s2.reshape(-1, 128)
             new_state["emb"] = acc_b2[None]
             new_state["emb_small"] = acc_s2[None]
         if vw_b is not None and config.weighted_pooling == "learned":

@@ -132,16 +132,27 @@ def make_plan(
                     f"table {t} has dim {d} != {dim} but is not an MD table"
                 )
     else:
-        raise ValueError(
-            "hybrid-parallel plan requires homogeneous table dims; "
-            f"got {sorted(dims)} (enable --md-flag for mixed dims)"
-        )
+        # arbitrary k*D dim mixes (the reference's split trick composes
+        # with every mode, dlrm_s_pytorch.py:579-585): slots carry the max
+        # dim, narrower tables' rows are stored with zero-padded columns
+        # and their pooled outputs sliced back after the exchange
+        dim = max(dims)
+        for t, d in enumerate(config.emb_dims):
+            if d % config.base_dim:
+                raise ValueError(
+                    f"table {t} dim {d} is not a multiple of the base dim"
+                )
     # QR tables contribute their QUOTIENT store to the sharded layout
     # (combine happens before pooling inside the shard; remainder stores
     # are replicated). 'concat' changes the slot dim — unsupported here.
     qr_ids = set(config.qr_table_ids)
     c = config.qr_collisions
     concat = bool(qr_ids) and config.qr_operation == "concat"
+    if concat and len(set(config.emb_dims)) > 1:
+        raise NotImplementedError(
+            "hybrid QR concat with mixed k*D table dims is unsupported "
+            "(slot bookkeeping assumes uniform D with concat)"
+        )
     if concat:
         # expand QR tables into (quotient, remainder) pseudo-tables; both
         # are plain tables in the sharded stores (adjacent canonical slots

@@ -68,6 +68,23 @@ def test_parse_raw_tsv_python_vs_native(tmp_path):
     want_cat = [int(v, 16) if v else 0 for v in parts[14:]]
     np.testing.assert_array_equal(xc[0], want_cat)
 
+    # full-32-bit hex ids (>= 2^31, the 40M-ind-range hashing edge):
+    # python and native must agree bit-for-bit, with and without the mod
+    big = str(tmp_path / "big.txt")
+    ids = [0x7FFFFFFF, 0x80000000, 0xFFFFFFFF, 0xDEADBEEF, 0x9A0F1E2D]
+    with open(big, "w") as f:
+        for i, v in enumerate(ids):
+            row = [str(i % 2)] + ["1"] * 13 + [format(v, "x")] * 26
+            f.write("\t".join(row) + "\n")
+    for mir in (-1, 40_000_000):
+        yp, xip, xcp = c.parse_raw_tsv(big, max_ind_range=mir)
+        if fp.available():
+            yn, xin, xcn = fp.parse_raw_tsv(big, max_ind_range=mir)
+            np.testing.assert_array_equal(xcp, xcn)
+        if mir > 0:
+            want = np.asarray([v % mir for v in ids], np.int32)
+            np.testing.assert_array_equal(xcp[:, 0], want)
+
 
 def test_preprocess_pipeline_and_loader(tmp_path):
     rng = np.random.RandomState(1)

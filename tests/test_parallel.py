@@ -525,3 +525,48 @@ def test_hybrid_grad_accum_matches_single_device(mesh_shape, optname):
         # normalization (g / sqrt(sum g^2)) amplifies that on rows whose
         # accumulator is still tiny — hence the looser tolerance here
         np.testing.assert_allclose(got[t], per_table[t], rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("optname", ["sgd", "rwsadagrad"])
+def test_hybrid_mixed_kd_dims_matches_single_device(optname):
+    """Arbitrary k*D dim mixes through the hybrid path (the reference's
+    split trick composes with every mode, dlrm_s_pytorch.py:579-585):
+    narrow tables' rows are zero-padded to the max slot dim, pooled
+    outputs sliced back per table after the exchange."""
+    d = 4
+    # dims 8, 4, 8, 4 -> k = (2, 1, 2, 1), slots S = 6, F = 7
+    f = 7
+    cfg = DLRMConfig(
+        emb_rows=(30, 20, 10, 40),
+        emb_dims=(8, 4, 8, 4),
+        ln_bot=(4, 8, d),
+        ln_top=(f * (f - 1) // 2 + d, 8, 1),
+    )
+    opt = OptConfig(optname, 0.1)
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=23)
+
+    from dlrm_yx_tpu.models.dlrm import model_groups
+
+    params1 = init_dlrm(cfg, seed=9)
+    step1 = make_train_step(cfg, opt)
+    p1, s1 = params1, init_opt_state(opt, params1, model_groups(cfg))
+    losses1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    mesh = make_mesh(2, 2)
+    plan = make_plan(cfg, n_model=2, alg="greedy")
+    assert plan.dim == 8
+    p2 = init_hybrid_params(cfg, plan, seed=9)
+    s2 = init_hybrid_opt_state(opt, p2, plan)
+    p2, s2 = shard_params(mesh, p2, opt, s2)
+    step2 = make_hybrid_train_step(cfg, plan, opt, mesh)
+    losses2 = []
+    for it, b in enumerate(batches):
+        ai, aw = arrange_sparse_inputs(plan, b.indices, b.weights)
+        p2, s2, loss = step2(
+            p2, s2, shard_batch(mesh, Batch(b.dense, ai, aw, b.labels)), it
+        )
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
