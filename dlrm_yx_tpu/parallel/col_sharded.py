@@ -153,12 +153,15 @@ def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
     }
     emb = params["emb"]
     # rwsadagrad: per-row accumulator REPLICATED per shard (identical values
-    # maintained by the psum'd update); adagrad: per-element, local slice
-    acc = (
-        jnp.zeros_like(emb)
-        if opt.name == "adagrad"
-        else jnp.zeros(emb.shape[:2], jnp.float32)
-    )
+    # maintained by the psum'd update); adagrad: per-element, local slice.
+    # The per-row form is carried 2-D as [ceil(R/128), 128] per shard — a
+    # [1, R] shard_map boundary value takes a T(1,128) layout and pays
+    # chunked relayout while-loops every step (see parallel/hybrid.py)
+    if opt.name == "adagrad":
+        acc = jnp.zeros_like(emb)
+    else:
+        n128 = (emb.shape[1] + 127) // 128 * 128
+        acc = jnp.zeros((emb.shape[0], n128 // 128, 128), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("vw") is not None:
         state["vw"] = jnp.zeros_like(params["vw"])
@@ -230,6 +233,8 @@ def make_col_sharded_train_step(
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]  # [total_rows, d_local]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc = acc.reshape(-1)  # bitcast: [n128, 128] -> [R128]
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
         pooled_local, w_eff, row_vals = _local_pooled(
@@ -315,6 +320,8 @@ def make_col_sharded_train_step(
                 )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc2 = acc2.reshape(-1, 128)
             new_state["emb"] = acc2[None]
         if vw is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_pooled_full, store_full[row]>
@@ -400,6 +407,8 @@ def make_col_sharded_accum_train_step(
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc = acc.reshape(-1)
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
 
@@ -490,6 +499,8 @@ def make_col_sharded_accum_train_step(
                 )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc2 = acc2.reshape(-1, 128)
             new_state["emb"] = acc2[None]
         return new_params, new_state, loss
 

@@ -208,12 +208,16 @@ def init_row_sharded_opt_state(
     }
     emb = params["emb"]
     pack = plan.pack if plan is not None else 1
-    acc = (
-        jnp.zeros_like(emb)
-        if opt.name == "adagrad"
-        # rwsadagrad: one accumulator per LOGICAL row
-        else jnp.zeros((emb.shape[0], emb.shape[1] * pack), jnp.float32)
-    )
+    if opt.name == "adagrad":
+        acc = jnp.zeros_like(emb)
+    else:
+        # rwsadagrad: one accumulator per LOGICAL row, carried 2-D as
+        # [ceil(R/128), 128] per shard — a [1, R] shard_map boundary value
+        # takes a T(1,128) layout and pays chunked relayout while-loops
+        # every step (see parallel/hybrid.py)
+        n_log = emb.shape[1] * pack
+        n128 = (n_log + 127) // 128 * 128
+        acc = jnp.zeros((emb.shape[0], n128 // 128, 128), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("vw") is not None:
         state["vw"] = jnp.zeros_like(params["vw"])
@@ -339,6 +343,8 @@ def make_row_sharded_train_step(
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]  # [rows_local, dim]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc = acc.reshape(-1)  # bitcast: [n128, 128] -> [R128]
 
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
@@ -431,6 +437,8 @@ def make_row_sharded_train_step(
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc2 = acc2.reshape(-1, 128)
             new_state["emb"] = acc2[None]
         if vw is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_full, store[row]>
@@ -519,6 +527,8 @@ def make_row_sharded_accum_train_step(
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]
         acc = opt_state["emb"][0] if opt.name != "sgd" else None
+        if opt.name == "rwsadagrad":
+            acc = acc.reshape(-1)
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
 
@@ -607,6 +617,8 @@ def make_row_sharded_accum_train_step(
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
+            if opt.name == "rwsadagrad":
+                acc2 = acc2.reshape(-1, 128)
             new_state["emb"] = acc2[None]
         return new_params, new_state, loss
 
