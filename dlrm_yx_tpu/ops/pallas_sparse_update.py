@@ -98,11 +98,15 @@ def conflict_flags(idx: jax.Array, active: jax.Array) -> jax.Array:
     return (c & (active > 0)).astype(jnp.int32)
 
 
-def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
-            rrow, wrow, rsem, wsem, *, bk: int, kk: int, pk: int,
+def _kernel(seed_ref, bflag_ref, idx_ref, sub_ref, upd_ref, store_ref,
+            out_ref, rrow, wrow, rsem, wsem, *, bk: int, kk: int, pk: int,
             sr: bool):
     """One grid block of bk items; branch-free steady state.
 
+    bflag_ref: SMEM [n_blocks] any-live-item flags — blocks
+    whose items are ALL redirected (inactive / conflicted / coalesce
+    padding at the tail of sorted inputs) are skipped wholesale instead of
+    issuing bk no-op sentinel DMAs (~40 ns each).
     idx_ref: SMEM [bk] transfer-unit ids (masked items point at the
     sentinel unit with a zero update); sub_ref: SMEM [bk]
     target row within the pk-row transfer; upd_ref: VMEM [bk, kk, LANES].
@@ -169,43 +173,46 @@ def _kernel(seed_ref, idx_ref, sub_ref, upd_ref, store_ref, out_ref,
             v = rrow[slot].reshape(pk, kk, LANES).astype(jnp.float32) + delta
             wrow[slot] = _round(v, sel).reshape(pk * kk, LANES)
 
-    for s in range(W):  # prologue: fill the read pipeline
-        read(s, s)
+    @pl.when(bflag_ref[pl.program_id(0)] > 0)
+    def _run_block():
+        for s in range(W):  # prologue: fill the read pipeline
+            read(s, s)
 
-    def body1(s, _):  # first W items: no writes pending yet
-        slot = s % W
-        wait_read(slot)
-        accumulate(slot, s)
-        write(slot, s)
-        read(slot, s + W)  # bk >= 2W, so s + W < bk
-        return 0
+        def body1(s, _):  # first W items: no writes pending yet
+            slot = s % W
+            wait_read(slot)
+            accumulate(slot, s)
+            write(slot, s)
+            read(slot, s + W)  # bk >= 2W, so s + W < bk
+            return 0
 
-    jax.lax.fori_loop(0, W, body1, 0)
+        jax.lax.fori_loop(0, W, body1, 0)
 
-    def body2(s, _):  # steady state: zero branches in the hot path
-        slot = s % W
-        wait_read(slot)
-        wait_write(slot)  # write issued W items ago on this slot
-        accumulate(slot, s)
-        write(slot, s)
-        read(slot, s + W)
-        return 0
+        def body2(s, _):  # steady state: zero branches in the hot path
+            slot = s % W
+            wait_read(slot)
+            wait_write(slot)  # write issued W items ago on this slot
+            accumulate(slot, s)
+            write(slot, s)
+            read(slot, s + W)
+            return 0
 
-    # split the tail off instead of a per-item @pl.when(s + W < bk) guard:
-    # a branch per item costs ~2x on the scalar core (it stalls DMA issue)
-    jax.lax.fori_loop(W, bk - W, body2, 0)
+        # split the tail off instead of a per-item @pl.when(s + W < bk)
+        # guard: a branch per item costs ~2x on the scalar core (it stalls
+        # DMA issue)
+        jax.lax.fori_loop(W, bk - W, body2, 0)
 
-    def body3(s, _):  # last W items: nothing left to prefetch
-        slot = s % W
-        wait_read(slot)
-        wait_write(slot)
-        accumulate(slot, s)
-        write(slot, s)
-        return 0
+        def body3(s, _):  # last W items: nothing left to prefetch
+            slot = s % W
+            wait_read(slot)
+            wait_write(slot)
+            accumulate(slot, s)
+            write(slot, s)
+            return 0
 
-    jax.lax.fori_loop(bk - W, bk, body3, 0)
-    for s in range(W):  # drain writes (also orders cross-block hazards)
-        wait_write(s)
+        jax.lax.fori_loop(bk - W, bk, body3, 0)
+        for s in range(W):  # drain writes (also orders cross-block hazards)
+            wait_write(s)
 
 
 TAIL_BLOCK = 256
@@ -360,6 +367,8 @@ def sparse_rows_add(
         sub = jnp.pad(sub, (0, pad))
         main_upd = jnp.pad(main_upd, ((0, pad), (0, 0)))
         k += pad
+    live = jnp.pad((~redirect).astype(jnp.int32), (0, pad))
+    bflag = jnp.max(live.reshape(k // bk, bk), axis=1)
 
     sr = bool(stochastic_round) and store.dtype != jnp.float32 and not interpret
     out = pl.pallas_call(
@@ -367,6 +376,7 @@ def sparse_rows_add(
         grid=(k // bk,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full flag vector
             pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -382,14 +392,14 @@ def sparse_rows_add(
             pltpu.SemaphoreType.DMA((W,)),
             pltpu.SemaphoreType.DMA((W,)),
         ],
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(
         jnp.asarray([seed], jnp.int32),
-        phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys,
+        bflag, phys_idx, sub, main_upd.reshape(k, kk, LANES), store_phys,
     )
     # exact serialized tail pass for the redirected (conflicted) items —
     # a second in-place kernel, NOT a lax.cond (a conditional holding the

@@ -215,12 +215,16 @@ def sparse_update(
         and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
     )
     if use_kernel:
-        if exact_momentum and opt.name != "sgd":
-            # --exact-row-momentum: coalesce duplicates FIRST so the
-            # adagrad-family momentum sees each row's summed gradient once
-            # (grad.coalesce() semantics, rwsadagrad.py:98) instead of the
-            # default per-occurrence fbgemm-style approximation. Pays a
-            # sort; SGD is linear and always exact without it.
+        if exact_momentum:
+            # --exact-row-momentum (and the row-sharded path, which mixes
+            # dup-heavy tiny tables into one row space): coalesce
+            # duplicates FIRST so adagrad-family momentum sees each row's
+            # summed gradient once (grad.coalesce() semantics,
+            # rwsadagrad.py:98) instead of the per-occurrence fbgemm-style
+            # approximation. Pays a sort — which also collapses the
+            # kernel's serialized conflict tail (duplicates are the only
+            # conflict source beyond pack-sharing), a large win when
+            # duplicates are plentiful.
             flat_idx, flat_g = coalesce_rows(flat_idx, flat_g, sentinel)
         active = (flat_idx < sentinel).astype(jnp.int32)
         if opt.name == "sgd":

@@ -432,7 +432,12 @@ def make_row_sharded_train_step(
             opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
             impl=config.sparse_update_impl,
             interpret=jax.default_backend() != "tpu",
-            exact_momentum=config.exact_row_momentum,
+            # always pre-coalesce: the unified row space mixes dup-heavy
+            # tiny tables into the kernel path, and un-coalesced
+            # duplicates explode the serialized conflict tail (profiled
+            # 7.3 ms/step at Terabyte-MLPerf shapes); the sort is ~0.05 ms
+            # and momentum becomes reference-exact as a bonus
+            exact_momentum=True,
             dim=plan.dim,
         )
         new_params["emb"] = store2[None]
@@ -613,6 +618,7 @@ def make_row_sharded_accum_train_step(
             opt, store, acc, flat_idx, flat_g, lr, plan.rows_local,
             impl=config.sparse_update_impl,
             interpret=jax.default_backend() != "tpu",
+            exact_momentum=True,  # see the per-step train path
             dim=plan.dim,
         )
         new_params["emb"] = store2[None]
