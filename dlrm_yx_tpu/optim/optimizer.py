@@ -143,8 +143,6 @@ def _store_bytes(store: jax.Array) -> int:
     return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
 
 
-
-
 def sparse_update(
     opt: OptConfig,
     store: jax.Array,

@@ -373,8 +373,6 @@ def _row_dim_tables(config: DLRMConfig, plan: ShardingPlan):
     import numpy as _np
 
     nb = plan.n_big_slots
-    qr_ids = set(config.qr_table_ids)
-    c = config.qr_collisions
     big = _np.full(
         (plan.n_model, plan.r_big_pad), float(plan.dim), _np.float32
     )

@@ -541,7 +541,7 @@ def make_row_sharded_accum_train_step(
             g_sum, loss_sum = carry
             batch = Batch(*b)
             gid = batch.indices + jnp.asarray(offs)[:, None, None]
-            partial, local_ids, w_eff_m, _, _ = _partial_pooled(
+            partial, local_ids, _, _, _ = _partial_pooled(
                 store, plan, gid, batch.weights
             )
             pooled = jax.lax.psum_scatter(
