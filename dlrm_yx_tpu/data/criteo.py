@@ -50,6 +50,7 @@ def parse_raw_tsv(
     sub_sample_rate: float = 0.0,
     rng: Optional[np.random.RandomState] = None,
     chunk_lines: int = 1 << 18,
+    seed: int = 123,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse one raw Criteo TSV file (label \\t 13 ints \\t 26 hex ids).
 
@@ -57,16 +58,24 @@ def parse_raw_tsv(
     the *processed* stage, matching the reference); hex ids are parsed to
     int32 with optional % max_ind_range; zero-target rows are sub-sampled
     with probability sub_sample_rate.
+
+    ``seed`` drives the sub-sampling stream on BOTH the native and the
+    numpy path (the run seed, --numpy-rand-seed in the reference,
+    dlrm_s_pytorch.py:1338). The two paths use different RNGs so the kept
+    ROW SETS differ between them, but each path is deterministic for a
+    given seed and both keep zero-target rows at the same expected rate.
     Returns (y [n] i4, X_int [n,13] i4, X_cat [n,26] i4).
     """
     try:
         from dlrm_yx_tpu.data import fastparse
 
         if fastparse.available():
-            return fastparse.parse_raw_tsv(path, max_ind_range, sub_sample_rate)
+            return fastparse.parse_raw_tsv(
+                path, max_ind_range, sub_sample_rate, seed
+            )
     except Exception:
         pass
-    rng = rng or np.random
+    rng = rng or np.random.RandomState(seed)
     ys, xis, xcs = [], [], []
     with open(path) as f:
         while True:
@@ -157,7 +166,9 @@ def preprocess_criteo(
             with np.load(day_npz) as d:
                 total_per_file.append(len(d["y"]))
             continue
-        y, xi, xc = parse_raw_tsv(df, max_ind_range, sub_sample_rate, rng)
+        y, xi, xc = parse_raw_tsv(
+            df, max_ind_range, sub_sample_rate, rng, seed=seed + i
+        )
         np.savez_compressed(
             day_npz, X_int=xi, X_cat_t=np.ascontiguousarray(xc.T), y=y
         )

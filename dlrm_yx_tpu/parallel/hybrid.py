@@ -574,7 +574,9 @@ def make_hybrid_accum_train_step(
             store_b2, acc_b2 = sparse_update(
                 opt, store_b, acc_b, fi, fg, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
-                row_dim=row_dim_b, dim=plan.dim,
+                row_dim=row_dim_b,
+                exact_momentum=config.exact_row_momentum,
+                dim=plan.dim,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b

@@ -86,6 +86,47 @@ def test_parse_raw_tsv_python_vs_native(tmp_path):
             np.testing.assert_array_equal(xcp[:, 0], want)
 
 
+def test_parse_raw_tsv_sub_sampling_seeded(tmp_path, monkeypatch):
+    """--data-sub-sample-rate: each parse path is deterministic for a
+    given run seed, seeds change the kept set, positives are never
+    dropped, and native/numpy keep zero-target rows at the same expected
+    rate (reference semantics: data_utils.py:1027-1032)."""
+    from dlrm_yx_tpu.data import criteo as c
+    import dlrm_yx_tpu.data.fastparse as fp
+
+    n, rate = 4000, 0.5
+    p = str(tmp_path / "sub.txt")
+    rng = np.random.RandomState(7)
+    labels = (np.arange(n) % 10 == 0).astype(int)  # 10% positives
+    with open(p, "w") as f:
+        for i in range(n):
+            row = [str(labels[i])] + [str(i)] * 13 + [format(i, "x")] * 26
+            f.write("\t".join(row) + "\n")
+    n_pos = int(labels.sum())
+    exp_keep = n_pos + (n - n_pos) * (1 - rate)
+    tol = 4 * np.sqrt((n - n_pos) * rate * (1 - rate))  # 4 sigma
+
+    paths = [("numpy", False)]
+    if fp.available():
+        paths.append(("native", True))
+    kept = {}
+    for name, use_native in paths:
+        monkeypatch.setattr(fp, "available", lambda un=use_native: un)
+        y1, xi1, _ = c.parse_raw_tsv(p, sub_sample_rate=rate, seed=123)
+        y2, xi2, _ = c.parse_raw_tsv(p, sub_sample_rate=rate, seed=123)
+        y3, xi3, _ = c.parse_raw_tsv(p, sub_sample_rate=rate, seed=999)
+        # deterministic per (path, seed)
+        np.testing.assert_array_equal(xi1, xi2)
+        np.testing.assert_array_equal(y1, y2)
+        # seed actually reaches the sampler
+        assert len(y3) != len(y1) or not np.array_equal(xi3, xi1)
+        # positives all survive; keep-rate statistically right
+        assert int((y1 == 1).sum()) == n_pos
+        assert abs(len(y1) - exp_keep) < tol, (name, len(y1), exp_keep)
+        kept[name] = len(y1)
+    monkeypatch.undo()
+
+
 def test_preprocess_pipeline_and_loader(tmp_path):
     rng = np.random.RandomState(1)
     days = 3

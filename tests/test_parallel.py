@@ -570,3 +570,51 @@ def test_hybrid_mixed_kd_dims_matches_single_device(optname):
         )
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_accum_exact_momentum_matches_xla(monkeypatch):
+    """--exact-row-momentum must hold under --mlperf-grad-accum-iter on the
+    hybrid path too: pallas+exact_momentum momenta == exact XLA momenta on
+    duplicate-heavy accumulated batches (grad.coalesce() semantics,
+    /root/reference/optim/rwsadagrad.py:98)."""
+    import dataclasses
+
+    import dlrm_yx_tpu.optim.optimizer as om
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    n_accum = 2
+    # big tables (so density routing keeps the kernel path: K << R) with
+    # indices clamped to a few rows (so duplicates are plentiful and
+    # per-occurrence momentum would diverge)
+    # dim=128 (pack=1) keeps PHYSICAL rows (the density denominator) high
+    base = make_cfg(t=4, rows=1500, dim=128)
+    micros = [
+        b._replace(indices=np.asarray(b.indices) % 8)
+        for b in _make_batches(base, n_batches=4, b=8, l=4, seed=31)
+    ]
+    results = {}
+    for impl in ("xla", "pallas"):
+        cfg = dataclasses.replace(
+            base, sparse_update_impl=impl, exact_row_momentum=True,
+            emb_split_threshold=0,  # all tables on the kernel-eligible store
+        )
+        opt = OptConfig("rwsadagrad", 0.1)
+        r = HybridRunner(cfg, opt, data=2, model=2, seed=7, n_accum=n_accum,
+                         sharder="naive")
+        p, s = r.params, r.opt_state
+        for it in range(2):
+            group = micros[it * n_accum : (it + 1) * n_accum]
+            stacked = Batch(*[
+                np.stack([np.asarray(getattr(b, f)) for b in group])
+                for f in Batch._fields
+            ])
+            p, s, _ = r.train_step(p, s, r.prepare_batch(stacked), it)
+        results[impl] = (np.asarray(p["emb"]), np.asarray(s["emb"]))
+    np.testing.assert_allclose(
+        results["pallas"][1], results["xla"][1], rtol=1e-5, atol=1e-6,
+        err_msg="momenta diverge: exact_momentum dropped on the accum path",
+    )
+    np.testing.assert_allclose(
+        results["pallas"][0], results["xla"][0], rtol=1e-5, atol=1e-6
+    )
