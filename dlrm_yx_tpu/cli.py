@@ -189,6 +189,45 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(args) -> DLRMConfig:
+    if args.load_processed:
+        # --load-processed drives the model arch from the dataset's
+        # table_configs.json — rows AND per-table heterogeneous dims (k*D
+        # mixes through the split trick; sub-D dims through the MD
+        # up-projection when --md-flag is on), so the user never
+        # hand-duplicates the arch in --arch-embedding-size (the reference
+        # builds ln_emb/m_spa the same way, dlrm_s_pytorch.py:1405-1441).
+        import json as _json
+        import os as _os
+
+        with open(
+            _os.path.join(args.load_processed, "table_configs.json")
+        ) as f:
+            tcs = _json.load(f)["tables"]
+        rows = [int(tc["row"]) for tc in sorted(tcs, key=lambda c: c["index"])]
+        dims = tuple(
+            int(tc["dim"]) for tc in sorted(tcs, key=lambda c: c["index"])
+        )
+        return DLRMConfig.build(
+            emb_rows=rows,
+            emb_dims=dims,
+            ln_bot=parse_int_list(args.arch_mlp_bot),
+            ln_top=parse_int_list(args.arch_mlp_top),
+            md_flag=args.md_flag,
+            md_threshold=args.md_threshold,
+            interaction=args.arch_interaction_op,
+            interact_itself=args.arch_interaction_itself,
+            loss=args.loss_function,
+            loss_threshold=args.loss_threshold,
+            wbce_weights=tuple(float(x) for x in args.loss_weights.split("-")),
+            weighted_pooling=args.weighted_pooling,
+            compute_dtype=args.compute_dtype,
+            emb_dtype=args.emb_dtype,
+            stochastic_rounding=args.stochastic_rounding,
+            lookup_impl=args.lookup_impl,
+            sparse_update_impl=args.sparse_update_impl,
+            exact_row_momentum=args.exact_row_momentum,
+            emb_split_threshold=args.emb_split_threshold,
+        )
     rows = parse_int_list(args.arch_embedding_size)
     emb_dims = (args.arch_sparse_feature_size,) * len(rows)
     if args.md_flag:
@@ -236,6 +275,21 @@ def config_from_args(args) -> DLRMConfig:
 def make_data(args, cfg):
     from dlrm_yx_tpu.data.synthetic import RandomDataConfig, make_random_batches
 
+    if args.data_generation == "processed" or args.load_processed:
+        # --load-processed overrides --data-generation (which defaults to
+        # "random"): the pre-generated batches ARE the dataset, like the
+        # reference's make_processed_data_and_loader dispatch
+        # (dlrm_s_pytorch.py:1405-1414)
+        from dlrm_yx_tpu.data.processed import load_processed
+
+        tc, batches = load_processed(args.load_processed)
+        if batches and batches[0].indices.shape[0] != cfg.num_tables:
+            sys.exit(
+                f"ERROR: processed data has {batches[0].indices.shape[0]} "
+                f"tables but the model was built with {cfg.num_tables} "
+                "(table_configs.json and data.npz disagree)"
+            )
+        return batches, (lambda: batches)
     if args.data_generation == "random":
         nb = args.num_batches or int(np.ceil(args.data_size / args.mini_batch_size))
         dc = RandomDataConfig(
@@ -277,11 +331,6 @@ def make_data(args, cfg):
             enable_padding=args.data_trace_enable_padding,
         )
         return train, (lambda: train)
-    if args.data_generation == "processed" or args.load_processed:
-        from dlrm_yx_tpu.data.processed import load_processed
-
-        _, batches = load_processed(args.load_processed)
-        return batches, (lambda: batches)
     if args.data_generation == "dataset":
         if args.mlperf_bin_loader:
             from dlrm_yx_tpu.data.criteo_bin import CriteoBinLoader

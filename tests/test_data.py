@@ -576,3 +576,60 @@ def test_visualize_e2e_loader_frequencies_and_per_feature(tmp_path):
     files = os.listdir(viz_dir)
     assert any(f.startswith("cat_counts-") for f in files)
     assert any(f.endswith("_freq.png") for f in files)
+
+
+def test_cli_load_processed_arch_from_table_configs(tmp_path):
+    """--load-processed builds the model arch (rows + heterogeneous k*D
+    dims + L_max) from table_configs.json with NO --arch-embedding-size,
+    like the reference (dlrm_s_pytorch.py:1405-1441)."""
+    from dlrm_yx_tpu.cli import main as cli_main
+    from dlrm_yx_tpu.data.processed import main as proc_main
+
+    out = str(tmp_path / "ds")
+    # heterogeneous dims: 4 and 8 with base dim 4 -> k in {1, 2}
+    proc_main([
+        "--T", "3", "--m-den", "8", "--num-batches", "4",
+        "--mini-batch-size", "8", "--row-range", "40,80",
+        "--dim-range", "4,8", "--pooling-factor-range", "2,5",
+        "--out-dir", out, "--seed", "3",
+    ])
+    cfgs, _ = load_processed(out)
+    dims = [tc["dim"] for tc in cfgs["tables"]]
+    assert len(set(dims)) > 1, "fixture should exercise heterogeneous dims"
+    s = cli_main([
+        f"--load-processed={out}",
+        "--arch-mlp-bot=8-8-4", "--arch-mlp-top=8-1",
+        "--arch-sparse-feature-size=4",
+        "--mini-batch-size=8", "--print-freq=2", "--loss-function=bce",
+        "--round-targets=True",
+    ])
+    assert 0.0 <= s["accuracy"] <= 1.0
+
+    # arch really came from the json: rows and per-table dims
+    from dlrm_yx_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args([
+        f"--load-processed={out}", "--arch-mlp-bot=8-8-4",
+        "--arch-mlp-top=8-1", "--arch-sparse-feature-size=4",
+    ])
+    cfg = config_from_args(args)
+    assert list(cfg.emb_rows) == [tc["row"] for tc in cfgs["tables"]]
+    assert list(cfg.emb_dims) == dims
+
+    # mismatched data.npz vs table_configs.json -> clean error
+    import json
+
+    with open(os.path.join(out, "table_configs.json")) as f:
+        tc = json.load(f)
+    tc["tables"] = tc["tables"][:2]
+    for i, t in enumerate(tc["tables"]):
+        t["index"] = i
+    with open(os.path.join(out, "table_configs.json"), "w") as f:
+        json.dump(tc, f)
+    with pytest.raises(SystemExit):
+        cli_main([
+            f"--load-processed={out}",
+            "--arch-mlp-bot=8-8-4", "--arch-mlp-top=8-1",
+            "--arch-sparse-feature-size=4",
+            "--mini-batch-size=8", "--loss-function=bce",
+        ])
