@@ -152,11 +152,31 @@ def main():
         lb_s = f"{lb:.3f}" if lb else "-"
         xoff = f"{row['x_off']}" if lb else "-"
         print(f"| {phase} | {ms:.3f} | {lb_s} | {xoff} | {bound_kind} |")
+    # cross-check the analytic bounds against XLA's own cost model for the
+    # whole compiled step (export.cost_analysis)
+    from dlrm_yx_tpu.export import cost_analysis
+
+    try:
+        ca = cost_analysis(
+            make_train_step(cfg, opt, jit=False), (params, state, bs[0], 0)
+        )
+    except Exception as e:  # cost model availability varies by backend
+        ca = {"error": str(e)}
+    else:
+        fl = ca.get("flops", 0.0)
+        by = next((v for k, v in ca.items() if "bytes accessed" == k), 0.0)
+        print(
+            f"XLA cost model (whole step): {fl/1e9:.2f} GFLOP, "
+            f"{by/1e6:.1f} MB accessed -> HBM-roofline "
+            f"{by / (HBM_GBPS * 1e9) * 1e3:.3f} ms, MXU-roofline "
+            f"{fl / (MXU_TFLOPS_BF16 * 1e12) * 1e3:.3f} ms"
+        )
     print(json.dumps({
         "metric": "roofline_step_ms",
         "value": round(step_ms, 4),
         "phases": rows,
         "peaks": {"hbm_gbps": HBM_GBPS, "mxu_tflops_bf16": MXU_TFLOPS_BF16},
+        "xla_cost_model": ca,
     }))
 
 

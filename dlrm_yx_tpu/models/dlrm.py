@@ -39,6 +39,7 @@ from dlrm_yx_tpu.ops.losses import predictions_from_logits
 from dlrm_yx_tpu.ops.md_embedding import init_md_projection
 from dlrm_yx_tpu.ops.mlp import apply_mlp, init_mlp
 from dlrm_yx_tpu.ops.qr_embedding import QRSpec, init_qr, qr_lookup
+from dlrm_yx_tpu.utils.profiling import phase_scope
 
 
 def model_groups(config: DLRMConfig) -> List[TableGroup]:
@@ -208,17 +209,18 @@ def lookup_all_groups(
     """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]]."""
     vw = params.get("vw")
     out = []
-    for gi, g in enumerate(groups):
-        out.append(
-            lookup_group(
-                params["emb"][gi],
-                g,
-                group_indices(g, indices),
-                group_indices(g, weights),
-                vw[gi] if vw is not None else None,
-                impl=impl,
+    with phase_scope("embedding_lookup"):
+        for gi, g in enumerate(groups):
+            out.append(
+                lookup_group(
+                    params["emb"][gi],
+                    g,
+                    group_indices(g, indices),
+                    group_indices(g, weights),
+                    vw[gi] if vw is not None else None,
+                    impl=impl,
+                )
             )
-        )
     return out
 
 
@@ -276,16 +278,24 @@ def forward_from_pooled(
     produced ``pooled_list`` (e.g. the distributed all-to-all — the overlap
     the reference hand-codes at dlrm_s_pytorch.py:708-713)."""
     cdt = jnp.dtype(config.compute_dtype)
-    x = apply_mlp(dense_x, params["bot"], config.sigmoid_bot, cdt)
+    # phase scopes survive jit and name these ops in profiler traces, like
+    # the reference's record_function tags (dlrm_s_pytorch.py:744-745,918)
+    with phase_scope("bottom_mlp"):
+        x = apply_mlp(dense_x, params["bot"], config.sigmoid_bot, cdt)
     ly = assemble_slots(
         pooled_list, groups, config, qr_pooled, params.get("md_proj")
     )
-    z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+    with phase_scope("interaction"):
+        z = interact_features(
+            x, ly, config.interaction, config.interact_itself, cdt
+        )
     # the reference puts sigmoid at the last top layer (sigmoid_top); we
     # return logits and fold the sigmoid into loss/prediction for stability
-    return apply_mlp(
-        z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
-    )
+    with phase_scope("top_mlp"):
+        return apply_mlp(
+            z, params["top"], config.sigmoid_top, cdt,
+            skip_last_activation=True,
+        )
 
 
 def forward_logits(

@@ -47,6 +47,7 @@ from dlrm_yx_tpu.models.dlrm import init_dlrm
 from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.mlp import apply_mlp
+from dlrm_yx_tpu.utils.profiling import phase_scope
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
@@ -477,14 +478,18 @@ def make_hybrid_accum_train_step(
             bsz_global = batch.labels.shape[0] * n_total
 
             def dense_loss(dp, pooled_in):
-                ly_ex = jax.lax.all_to_all(
-                    pooled_in, "model", split_axis=1, concat_axis=0,
-                    tiled=True,
-                )
+                with phase_scope("alltoall_fwd"):
+                    ly_ex = jax.lax.all_to_all(
+                        pooled_in, "model", split_axis=1, concat_axis=0,
+                        tiled=True,
+                    )
                 ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
                 ly = _slots_from_canonical(ly_can, config, dp.get("md_proj"))
                 cdt = jnp.dtype(config.compute_dtype)
-                x = apply_mlp(batch.dense, dp["bot"], config.sigmoid_bot, cdt)
+                with phase_scope("bottom_mlp"):
+                    x = apply_mlp(
+                        batch.dense, dp["bot"], config.sigmoid_bot, cdt
+                    )
                 z = interact_features(
                     x, ly, config.interaction, config.interact_itself, cdt
                 )
@@ -777,15 +782,20 @@ def make_hybrid_train_step(
 
         def dense_loss(dense_params, pooled_in):
             # the exchange: model-parallel pooled -> batch-sharded canonical
-            ly_ex = jax.lax.all_to_all(
-                pooled_in, "model", split_axis=1, concat_axis=0, tiled=True
-            )  # [n_model * t_pad, b, dim]
+            with phase_scope("alltoall_fwd"):
+                ly_ex = jax.lax.all_to_all(
+                    pooled_in, "model", split_axis=1, concat_axis=0,
+                    tiled=True,
+                )  # [n_model * t_pad, b, dim]
             ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
             ly = _slots_from_canonical(
                 ly_can, config, dense_params.get("md_proj")
             )
             cdt = jnp.dtype(config.compute_dtype)
-            x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
+            with phase_scope("bottom_mlp"):
+                x = apply_mlp(
+                    batch.dense, dense_params["bot"], config.sigmoid_bot, cdt
+                )
             z = interact_features(
                 x, ly, config.interaction, config.interact_itself, cdt
             )
@@ -1213,13 +1223,17 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
                 xf[nb:] if xf is not None else None, config.qr_collisions,
             )[0])
         pooled = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
-        ly_ex = jax.lax.all_to_all(
-            pooled, "model", split_axis=1, concat_axis=0, tiled=True
-        )
+        with phase_scope("alltoall_fwd"):
+            ly_ex = jax.lax.all_to_all(
+                pooled, "model", split_axis=1, concat_axis=0, tiled=True
+            )
         ly_can = jnp.take(ly_ex, jnp.asarray(gather_all), axis=0)
         ly = _slots_from_canonical(ly_can, config, params.get("md_proj"))
         cdt = jnp.dtype(config.compute_dtype)
-        x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
+        with phase_scope("bottom_mlp"):
+            x = apply_mlp(
+                batch.dense, params["bot"], config.sigmoid_bot, cdt
+            )
         z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
         logits = apply_mlp(
             z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True

@@ -40,6 +40,7 @@ from dlrm_yx_tpu.optim.optimizer import (
     sparse_update,
     sparse_update_1d,
 )
+from dlrm_yx_tpu.utils.profiling import phase_scope
 
 
 def _interpret() -> bool:
@@ -62,6 +63,26 @@ def apply_gradients(
 ):
     """Shared between the single-device and hybrid-parallel steps: dense
     updates + sparse per-group row updates from the pooled cotangent."""
+    with phase_scope("optimizer"):
+        return _apply_gradients(
+            config, opt, groups, params, opt_state, batch, g_dense,
+            g_pooled, lr, g_qr_pooled, sr_seed,
+        )
+
+
+def _apply_gradients(
+    config,
+    opt,
+    groups,
+    params,
+    opt_state,
+    batch,
+    g_dense,
+    g_pooled,
+    lr,
+    g_qr_pooled=(),
+    sr_seed=0,
+):
     new_params = dict(params)
     new_state = dict(opt_state)
 
@@ -190,17 +211,19 @@ def make_train_step(
             logits = forward_from_pooled(
                 p2, config, groups, batch.dense, pooled_in, qr_in
             )
-            return loss_fn(
-                logits, batch.labels, config.loss, config.loss_threshold,
-                config.wbce_weights,
-            )
+            with phase_scope("loss_compute"):
+                return loss_fn(
+                    logits, batch.labels, config.loss, config.loss_threshold,
+                    config.wbce_weights,
+                )
 
         dense_params = {"bot": params["bot"], "top": params["top"]}
         if "md_proj" in params:
             dense_params["md_proj"] = params["md_proj"]
-        loss, (g_dense, g_pooled, g_qr) = jax.value_and_grad(
-            dense_loss, argnums=(0, 1, 2)
-        )(dense_params, pooled, qr_pooled)
+        with phase_scope("backward"):
+            loss, (g_dense, g_pooled, g_qr) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1, 2)
+            )(dense_params, pooled, qr_pooled)
         new_params, new_state = apply_gradients(
             config, opt, groups, params, opt_state, batch, g_dense, g_pooled,
             lr, g_qr, sr_seed=iteration,

@@ -38,6 +38,7 @@ from dlrm_yx_tpu.train.train_step import (
     make_train_step,
 )
 from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
+from dlrm_yx_tpu.utils.profiling import StepTimer
 
 
 @dataclasses.dataclass
@@ -211,6 +212,7 @@ class Trainer:
         stop = False
         summary = {}
         for epoch in range(self.start_epoch, tcfg.nepochs):
+            epoch_timer = StepTimer(warmup_iters=max(1, tcfg.print_freq))
             if self.events:
                 self.events.log_start("epoch_start", {"epoch_num": epoch})
             if epoch > 0 and hasattr(train_batches, "reshuffle"):
@@ -258,7 +260,12 @@ class Trainer:
 
                 if tcfg.print_freq and self.iteration % tcfg.print_freq == 0:
                     losses = [float(x) for x in pending]  # drains the chain
-                    ms = (_time.perf_counter() - span_t0) / len(pending) * 1e3
+                    span = _time.perf_counter() - span_t0
+                    ms = span / len(pending) * 1e3
+                    # warmup-excluded per-iter bookkeeping (the reference's
+                    # CUDA-event epoch average, dlrm_s_pytorch.py:1966-1988)
+                    for _ in range(len(pending)):
+                        epoch_timer.times.append(span / len(pending))
                     avg_loss = sum(losses) / max(len(losses), 1)
                     pending = []
                     rank0_print(
@@ -282,6 +289,11 @@ class Trainer:
             if pending:
                 _ = [float(x) for x in pending]
                 pending = []
+            if epoch_timer.times:
+                rank0_print(
+                    f"Epoch {epoch} average: {epoch_timer.mean_ms():.2f} "
+                    "ms/it (warmup excluded)"
+                )
             if self.events:
                 self.events.log_end("epoch_stop", {"epoch_num": epoch})
             if stop:
