@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.parallel.mesh import mesh_jit
 from dlrm_yx_tpu.data.batch import Batch
 from dlrm_yx_tpu.ops.coalesce import coalesce_rows
 from dlrm_yx_tpu.ops.interaction import interact_features
@@ -385,7 +386,7 @@ def make_col_sharded_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
 def make_col_sharded_accum_train_step(
@@ -534,7 +535,7 @@ def make_col_sharded_accum_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
 def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mesh):
@@ -589,7 +590,7 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
         out_specs=(P(("data", "model")), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return mesh_jit(sharded)
 
 
 class ColShardedRunner:
@@ -597,7 +598,7 @@ class ColShardedRunner:
 
     def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123,
                  n_accum=1):
-        from dlrm_yx_tpu.parallel.mesh import make_mesh
+        from dlrm_yx_tpu.parallel.mesh import make_mesh, mesh_jit
 
         self.config = config
         self.opt = opt

@@ -48,6 +48,7 @@ from dlrm_yx_tpu.ops.interaction import interact_features
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.mlp import apply_mlp
 from dlrm_yx_tpu.utils.profiling import phase_scope
+from dlrm_yx_tpu.parallel.mesh import mesh_jit
 from dlrm_yx_tpu.optim.optimizer import (
     OptConfig,
     dense_update,
@@ -649,7 +650,7 @@ def make_hybrid_accum_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
 def make_hybrid_train_step(
@@ -1056,7 +1057,7 @@ def make_hybrid_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))
+    return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
 class HybridRunner:
@@ -1079,7 +1080,7 @@ class HybridRunner:
         seed: int = 123,
         n_accum: int = 1,
     ):
-        from dlrm_yx_tpu.parallel.mesh import make_mesh
+        from dlrm_yx_tpu.parallel.mesh import make_mesh, mesh_jit
         from dlrm_yx_tpu.parallel.plan import arrange_sparse_inputs, make_plan
 
         self.config = config
@@ -1272,4 +1273,4 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
         out_specs=(P(("data", "model")), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return mesh_jit(sharded)

@@ -16,6 +16,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+# XLA:TPU leaves all-to-all synchronous by default; this flag turns it
+# into an async start/done pair the latency-hiding scheduler then overlaps
+# with independent compute — the bottom-MLP overlap the reference
+# hand-codes with its Req/Wait autograd functions
+# (/root/reference/dlrm_s_pytorch.py:708-713, extend_distributed.py:405-508).
+# Verified on the AOT-compiled v5e schedule: bottom_mlp dot_generals sit
+# between all-to-all-start and all-to-all-done (tests/test_overlap.py,
+# bench/check_overlap.py).
+TPU_COMPILER_OPTIONS = {"xla_tpu_enable_async_all_to_all": "true"}
+
+
+def mesh_jit(fn, **kw):
+    """jax.jit for sharded train/eval steps, with the TPU compile options
+    that enable collective/compute overlap (no-op off TPU — CPU test
+    meshes reject TPU-only flags)."""
+    if jax.default_backend() == "tpu":
+        kw.setdefault("compiler_options", TPU_COMPILER_OPTIONS)
+    return jax.jit(fn, **kw)
+
+
 def make_mesh(
     data: int = 1,
     model: Optional[int] = None,
