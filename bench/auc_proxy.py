@@ -136,9 +136,90 @@ def run_proxy(steps=2000, n_eval=16, configs=(("fp32_xla", "float32", "xla"),
     return results
 
 
+def run_proxy_mesh(
+    shard_mode="table", steps=400, n_eval=16, data=2, model=4, seed=7,
+):
+    """The same held-out-AUC proxy through a sharded runner on a (virtual)
+    mesh — convergence evidence for the hybrid/row/col paths, not just
+    1-step loss equality (VERDICT r2 item 4). Returns the AUC curve."""
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.optim.optimizer import OptConfig
+    from dlrm_yx_tpu.train.metrics import roc_auc_exact
+
+    cfg, train_b, eval_b = build_proxy_batches(n_eval=n_eval)
+    opt = OptConfig("rwsadagrad", 0.05)
+    if shard_mode == "table":
+        from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+        runner = HybridRunner(cfg, opt, data=data, model=model, seed=seed)
+    elif shard_mode == "row":
+        from dlrm_yx_tpu.parallel.row_sharded import RowShardedRunner
+
+        runner = RowShardedRunner(cfg, opt, data=data, model=model, seed=seed)
+    elif shard_mode == "col":
+        from dlrm_yx_tpu.parallel.col_sharded import ColShardedRunner
+
+        runner = ColShardedRunner(cfg, opt, data=data, model=model, seed=seed)
+    else:
+        raise ValueError(shard_mode)
+
+    def eval_auc(params):
+        scores, targets = [], []
+        for b in eval_b:
+            preds, _ = runner.eval_step(params, runner.prepare_batch(b))
+            scores.append(np.asarray(preds).ravel())
+            targets.append(np.asarray(b.labels).ravel())
+        return float(
+            roc_auc_exact(np.concatenate(scores), np.concatenate(targets))
+        )
+
+    p, s = runner.params, runner.opt_state
+    curve = [(0, eval_auc(p))]
+    for i in range(steps):
+        p, s, _ = runner.train_step(
+            p, s, runner.prepare_batch(train_b[i % len(train_b)]), i
+        )
+        if (i + 1) % max(1, steps // 8) == 0:
+            curve.append((i + 1, eval_auc(p)))
+    print(json.dumps(
+        {"config": f"mesh_{shard_mode}_{data}x{model}", "auc_curve": curve}
+    ), flush=True)
+    return curve
+
+
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    n_eval = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    steps = int(argv[0]) if argv else 2000
+    n_eval = int(argv[1]) if len(argv) > 1 else 16
+    shard_modes = [
+        f.split("=", 1)[1] for f in flags if f.startswith("--shard-mode=")
+    ]
+    if shard_modes:
+        # mesh-mode proxy: run each requested sharding on an 8-virtual-CPU
+        # mesh and compare against the single-device fp32 curve
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        base = run_proxy(steps, n_eval, configs=(("fp32_xla", "float32", "xla"),))
+        base_final = base["fp32_xla"][-1][1]
+        finals = {"single_device": base_final}
+        for m in shard_modes:
+            curve = run_proxy_mesh(m, steps=steps, n_eval=n_eval)
+            finals[m] = curve[-1][1]
+        gaps = {m: abs(v - base_final) for m, v in finals.items()}
+        ok = all(v > 0.75 for v in finals.values()) and all(
+            g < 0.02 for g in gaps.values()
+        )
+        print(json.dumps({
+            "verdict": "ok" if ok else "FAIL",
+            "final_auc": finals, "gap_vs_single_device": gaps,
+            "threshold": 0.75, "gap_threshold": 0.02,
+        }))
+        return 0 if ok else 1
     results = run_proxy(steps, n_eval)
     finals = {tag: curve[-1][1] for tag, curve in results.items()}
     starts = {tag: curve[0][1] for tag, curve in results.items()}

@@ -21,3 +21,21 @@ def test_auc_improves_and_fast_path_matches():
         assert final > start + 0.05, (tag, curve)  # improved from init
     gap = abs(results["fp32_xla"][-1][1] - results["bf16_pallas"][-1][1])
     assert gap < 0.02, (gap, results)
+
+
+def test_mesh_paths_converge_to_single_device_auc():
+    """The held-out-AUC proxy through the sharded runners (8-virtual-device
+    mesh) must match the single-device curve — convergence evidence for the
+    mesh paths beyond 1-step loss equality (VERDICT r2 item 4; the
+    reference validates its distributed mode with full training runs,
+    README.md:340-348 there)."""
+    from auc_proxy import run_proxy, run_proxy_mesh
+
+    steps, n_eval = 200, 6
+    base = run_proxy(
+        steps=steps, n_eval=n_eval, configs=(("fp32_xla", "float32", "xla"),)
+    )["fp32_xla"][-1][1]
+    for mode in ("table", "row", "col"):
+        final = run_proxy_mesh(mode, steps=steps, n_eval=n_eval)[-1][1]
+        assert abs(final - base) < 0.02, (mode, final, base)
+        assert final > 0.60, (mode, final)
