@@ -118,9 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma/dash-separated table->device ids for --sharder=input")
     p.add_argument("--lookup-impl", type=str, default="xla", choices=["xla", "pallas"])
     p.add_argument("--sparse-update-impl", type=str, default="xla",
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "stream"],
                    help="pallas = row-RMW kernel for big-table updates "
-                        "(ops/pallas_sparse_update.py)")
+                        "(ops/pallas_sparse_update.py); stream = pallas "
+                        "plus the sorted-run streaming kernel in the "
+                        "dense/high-L regime (ops/pallas_stream_update.py: "
+                        "in-place, wins on duplicate-heavy index streams)")
     p.add_argument("--exact-row-momentum", action="store_true", default=False,
                    help="pre-coalesce duplicate rows before the pallas "
                         "kernel so adagrad-family momentum matches the "

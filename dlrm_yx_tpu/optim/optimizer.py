@@ -206,7 +206,10 @@ def sparse_update(
         flat_idx.shape[0] * DENSE_ACCUM_FACTOR >= store.shape[0]
     )
     use_kernel = (
-        impl == "pallas"
+        # 'stream' routes the dense regime through sparse_update_stream at
+        # the train-step level; through THIS interface it behaves as
+        # 'pallas' (mesh paths, non-factored callers)
+        impl in ("pallas", "stream")
         and size_class != 0
         and layout_ok
         and not dense_by_density
@@ -392,3 +395,113 @@ def sparse_update_1d(
     acc = acc.at[uniq].add(sg * sg, mode="drop")
     denom = jnp.sqrt(acc.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
     return vec.at[uniq].add(-lr * sg / denom, mode="drop"), acc
+
+
+def stream_eligible(opt: OptConfig, store: jax.Array, group) -> bool:
+    """Can this (optimizer, store, group) take the sorted-stream update?"""
+    return (
+        opt.name in ("sgd", "rwsadagrad")
+        and store.dtype == jnp.float32
+        and group.dim * group.pack == 128
+        and group.size_class != 0
+    )
+
+
+def sparse_update_stream(
+    opt: OptConfig,
+    store: jax.Array,
+    acc,
+    group,
+    gidx: jax.Array,
+    weights: jax.Array,
+    g_pooled: jax.Array,
+    lr,
+    interpret: bool = False,
+    row_dim=None,
+):
+    """Sorted-run streaming sparse update (--sparse-update-impl=stream).
+
+    The factored form of the dense-regime update: instead of materializing
+    per-occurrence gradient rows in NATURAL order and scatter-adding them
+    (XLA: full-store rewrite + ~15 ns per occurrence,
+    bench/probe_vmem_dynamic*.py), sort the SCALAR (row, segment, weight)
+    triples (4.1 ms at K=1.64M — no [K,128] payload moves), expand values
+    AFTER the sort with a small-operand gather from the 8 MB pooled-grad
+    table (~3.4 ns/row), and apply with ops/pallas_stream_update.
+    sorted_stream_add — one full-store stream + in-VMEM row RMWs.
+
+    Measured at the reference L=100 bench shapes (f32, 2 GB store):
+    ~even with XLA on uniform-random indices; 30.2 -> ~19 ms on a
+    Zipf(1.2) stream (11% unique) where sorted duplicates hit VMEM-resident
+    rows instead of paying per-occurrence scatter issues; and no [R,128]
+    dense-gradient buffer is materialized (in-place, halves peak memory of
+    the update at capacity configs).
+
+    gidx: [T,B,L] GLOBAL logical row ids for this group (padding entries
+    must carry id group.total_rows); weights: [T,B,L] (0 = padding);
+    g_pooled: [T_g, B, dim] pooled cotangent. SGD is exact (linear);
+    rwsadagrad momentum accumulates per-occurrence (the kernel path's
+    documented fbgemm-style semantics) — use the dense path for
+    --exact-row-momentum.
+
+    Reference parity: the CUDA backward's sorted-segment scatter in the
+    fused-optimizer kernels (SURVEY.md §2.3); grad.coalesce() exactness
+    holds for SGD, rwsadagrad approximates per-occurrence like fbgemm.
+    """
+    from dlrm_yx_tpu.ops.pallas_stream_update import sorted_stream_add
+
+    t, b, l = gidx.shape
+    k = t * b * l
+    dim, pack = group.dim, group.pack
+    from dlrm_yx_tpu.ops.pallas_stream_update import CHP
+
+    rows = gidx.reshape(-1).astype(jnp.int32)
+    seg = jnp.broadcast_to(
+        (jnp.arange(t * b, dtype=jnp.int32) * 1).reshape(t, b, 1), (t, b, l)
+    ).reshape(-1)
+    w = weights.reshape(-1).astype(jnp.float32)
+    rows_s, seg_s, w_s = jax.lax.sort((rows, seg, w), num_keys=1)
+    # pad the SCALAR streams before value expansion (padding [K,128] values
+    # afterwards would copy ~1 GB at bench sizes); the sentinel logical row
+    # maps to a physical pos >= store rows, so the kernel drops it
+    r_phys = store.shape[0]
+    rows_s = jnp.pad(rows_s, (0, CHP), constant_values=jnp.int32(r_phys * pack))
+    seg_s = jnp.pad(seg_s, (0, CHP))
+    w_s = jnp.pad(w_s, (0, CHP))
+
+    gp2 = g_pooled.astype(jnp.float32).reshape(t * b, dim)
+    if pack > 1:
+        gp2 = jnp.tile(gp2, (1, pack))  # [t*b, 128]
+    vals = jnp.take(gp2, seg_s, axis=0) * w_s[:, None]
+    if pack > 1:
+        blk = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) // dim
+        vals = jnp.where(blk[None, :] == (rows_s % pack)[:, None], vals, 0.0)
+    pos = rows_s // pack if pack > 1 else rows_s
+
+    if opt.name == "sgd":
+        return (
+            sorted_stream_add(
+                store, pos, -lr * vals, n_live=k, interpret=interpret
+            ),
+            acc,
+        )
+
+    # rwsadagrad: per-LOGICAL-row 1-D momentum, per-occurrence accumulation
+    active = (rows_s < group.total_rows).astype(jnp.float32)
+    if row_dim is None:
+        mom_inc = jnp.sum(vals * vals, axis=-1) / dim * active
+    else:
+        mom_inc = (
+            jnp.sum(vals * vals, axis=-1)
+            / jnp.take(row_dim, rows_s, mode="fill", fill_value=1.0)
+        ) * active
+    safe = jnp.where(active > 0, rows_s, group.total_rows)
+    acc = acc.at[safe].add(mom_inc, mode="drop")
+    denom = jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
+    return (
+        sorted_stream_add(
+            store, pos, -lr * vals / denom[:, None], n_live=k,
+            interpret=interpret,
+        ),
+        acc,
+    )

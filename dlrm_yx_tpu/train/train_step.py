@@ -35,10 +35,13 @@ from dlrm_yx_tpu.ops.embedding import flat_row_grads, vw_row_grads
 from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.qr_embedding import qr_row_grads
 from dlrm_yx_tpu.optim.optimizer import (
+    DENSE_ACCUM_FACTOR,
     OptConfig,
     dense_update,
     sparse_update,
     sparse_update_1d,
+    sparse_update_stream,
+    stream_eligible,
 )
 from dlrm_yx_tpu.utils.profiling import phase_scope
 
@@ -153,15 +156,51 @@ def _apply_gradients(
         idx_g = group_indices(g, batch.indices)
         w_g = group_indices(g, batch.weights)
         vw_g = params["vw"][gi] if params.get("vw") is not None else None
-        fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled[gi], vw_g)
         acc = opt_state["emb"][gi] if opt.name != "sgd" else None
-        store2, acc2 = sparse_update(
-            opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
-            impl=config.sparse_update_impl, interpret=_interpret(),
-            stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
-            size_class=g.size_class, dim=g.dim,
-            exact_momentum=config.exact_row_momentum,
+        t_g, b_g, l_g = idx_g.shape
+        use_stream = (
+            (
+                config.sparse_update_impl == "stream"
+                # SGD is exact on both the dense and the stream path, so
+                # 'pallas' auto-routes its dense regime through the faster
+                # streaming kernel (49.9 -> 46.2 ms at the L=100 bench);
+                # adagrad-family keeps the exactly-coalescing dense path
+                # unless 'stream' (per-occurrence momentum) is requested.
+                or (
+                    config.sparse_update_impl == "pallas"
+                    and opt.name == "sgd"
+                )
+            )
+            and stream_eligible(opt, params["emb"][gi], g)
+            and not config.exact_row_momentum
+            and not config.stochastic_rounding
+            # streaming rewrites the whole store: only sensible in the
+            # dense regime (the same K-vs-R crossover as the dense path)
+            and t_g * b_g * l_g * DENSE_ACCUM_FACTOR
+            >= params["emb"][gi].shape[0]
         )
+        if use_stream:
+            from dlrm_yx_tpu.ops.embedding import global_row_ids
+
+            gidx = global_row_ids(g, idx_g)
+            w_eff = w_g
+            if vw_g is not None:
+                w_eff = w_g * jnp.take(vw_g, gidx.reshape(-1)).reshape(
+                    idx_g.shape
+                )
+            store2, acc2 = sparse_update_stream(
+                opt, params["emb"][gi], acc, g, gidx, w_eff, g_pooled[gi],
+                lr, interpret=_interpret(),
+            )
+        else:
+            fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled[gi], vw_g)
+            store2, acc2 = sparse_update(
+                opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
+                impl=config.sparse_update_impl, interpret=_interpret(),
+                stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
+                size_class=g.size_class, dim=g.dim,
+                exact_momentum=config.exact_row_momentum,
+            )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
         if config.weighted_pooling == "learned":

@@ -1,0 +1,166 @@
+"""sorted_stream_add + the --sparse-update-impl=stream train path.
+
+The sorted-run streaming kernel (ops/pallas_stream_update.py) is the
+dense-regime analog of the CUDA backward's sorted-segment scatter
+(SURVEY.md §2.3): full-store stream + in-VMEM row RMW. These tests pin:
+  * kernel semantics (sorted dups, sentinel drops, block boundaries);
+  * the factored optimizer path == the XLA dense path (sgd exact;
+    rwsadagrad per-occurrence momentum == kernel-path semantics);
+  * a full train step with impl='stream' matches impl='xla' losses for
+    SGD (linear => exact).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_yx_tpu.config import DLRMConfig
+from dlrm_yx_tpu.data.batch import Batch
+from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+from dlrm_yx_tpu.ops.pallas_stream_update import BLOCK_ROWS, sorted_stream_add
+from dlrm_yx_tpu.optim.optimizer import (
+    OptConfig,
+    init_opt_state,
+    sparse_update_stream,
+    stream_eligible,
+)
+from dlrm_yx_tpu.train.train_step import make_train_step
+
+
+def test_sorted_stream_add_matches_scatter():
+    r = np.random.RandomState(0)
+    for R, K, dups in [(9000, 4000, False), (6000, 5000, True),
+                       (BLOCK_ROWS, 100, False), (BLOCK_ROWS + 1, 7, False)]:
+        base = r.randint(0, R, K)
+        if dups:
+            base = np.concatenate([base[: K // 2],
+                                   np.repeat(base[:50], (K - K // 2) // 50)])
+            base = base[:K]
+        pos = np.sort(base).astype(np.int32)
+        pos = np.concatenate([pos, np.full(37, R + 3, np.int32)])  # sentinels
+        upd = r.randn(len(pos), 128).astype(np.float32)
+        store = r.randn(R, 128).astype(np.float32)
+        want = jnp.asarray(store).at[jnp.asarray(pos[:K])].add(
+            jnp.asarray(upd[:K]), mode="drop"
+        )
+        got = sorted_stream_add(
+            jnp.asarray(store), jnp.asarray(pos), jnp.asarray(upd),
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"R={R} K={K} dups={dups}",
+        )
+
+
+def _factored_inputs(r, t, b, l, rows_per_table, dim, pack, dup=False):
+    total = t * rows_per_table
+    idx = r.randint(0, rows_per_table, (t, b, l)).astype(np.int32)
+    if dup:
+        idx = idx % 7
+    gidx = idx + (np.arange(t, dtype=np.int32) * rows_per_table)[:, None, None]
+    w = (r.rand(t, b, l) > 0.1).astype(np.float32)
+    gp = r.randn(t, b, dim).astype(np.float32)
+    return gidx, w, gp, total
+
+
+@pytest.mark.parametrize("optname", ["sgd", "rwsadagrad"])
+@pytest.mark.parametrize("dim,pack", [(128, 1), (64, 2), (32, 4)])
+def test_sparse_update_stream_matches_reference(optname, dim, pack):
+    """Factored stream update == hand-computed per-occurrence reference
+    (the pallas kernel path's semantics; sgd == exact XLA scatter)."""
+
+    class G:
+        pass
+
+    g = G()
+    g.dim, g.pack, g.size_class = dim, pack, 1
+    t, b, l, rows_per_table = 3, 8, 5, 64
+    g.total_rows = t * rows_per_table
+    r = np.random.RandomState(3)
+    gidx, w, gp, total = _factored_inputs(r, t, b, l, rows_per_table, dim, pack,
+                                          dup=True)
+    rp = (total + pack - 1) // pack + 2
+    store = r.randn(rp, 128).astype(np.float32)
+    acc1d = np.abs(r.randn(total + 4)).astype(np.float32)
+    opt = OptConfig(optname, 0.1)
+    acc = None if optname == "sgd" else jnp.asarray(acc1d)
+    assert stream_eligible(opt, jnp.asarray(store), g)
+
+    got_store, got_acc = sparse_update_stream(
+        opt, jnp.asarray(store), acc, g, jnp.asarray(gidx), jnp.asarray(w),
+        jnp.asarray(gp), 0.1, interpret=True,
+    )
+
+    # reference: per-occurrence walk in sorted order
+    want = store.copy().astype(np.float64)
+    want_acc = acc1d.copy().astype(np.float64)
+    flat = [
+        (int(gidx[i, j, k]), float(w[i, j, k]), gp[i, j].astype(np.float64))
+        for i in range(t) for j in range(b) for k in range(l)
+    ]
+    flat.sort(key=lambda x: x[0])
+    # two-phase like the pallas kernel path: ALL momentum increments land
+    # first, every occurrence then divides by the final accumulator
+    if optname != "sgd":
+        for row, ww, gprow in flat:
+            val = np.zeros(128)
+            blkpos = (row % pack) * dim
+            val[blkpos : blkpos + dim] = ww * gprow
+            want_acc[row] += float((val * val).sum() / dim)
+    for row, ww, gprow in flat:
+        val = np.zeros(128)
+        blkpos = (row % pack) * dim
+        val[blkpos : blkpos + dim] = ww * gprow
+        if optname == "sgd":
+            want[row // pack] += -0.1 * val
+        else:
+            want[row // pack] += -0.1 * val / (
+                np.sqrt(want_acc[row]) + opt.eps
+            )
+    np.testing.assert_allclose(
+        np.asarray(got_store), want, rtol=1e-4, atol=1e-4
+    )
+    if optname != "sgd":
+        np.testing.assert_allclose(
+            np.asarray(got_acc), want_acc, rtol=1e-4, atol=1e-4
+        )
+
+
+def test_train_step_stream_matches_xla_sgd():
+    """Whole train step: impl='stream' == impl='xla' for SGD (linear =>
+    bit-comparable losses and stores), on a dense-regime config."""
+    base = DLRMConfig(
+        emb_rows=(300, 400), ln_bot=(4, 8, 64), ln_top=(3 * 2 // 2 + 64, 8, 1),
+    )
+    r = np.random.RandomState(5)
+    t, b, l = 2, 16, 12  # K = 384 * DENSE_ACCUM_FACTOR >= rows -> stream on
+    batches = [
+        Batch(
+            r.rand(b, 4).astype(np.float32),
+            r.randint(0, 300, (t, b, l)).astype(np.int32),
+            np.ones((t, b, l), np.float32),
+            (r.rand(b, 1) > 0.5).astype(np.float32),
+        )
+        for _ in range(3)
+    ]
+    outs = {}
+    for impl in ("xla", "stream"):
+        cfg = dataclasses.replace(base, sparse_update_impl=impl)
+        params = init_dlrm(cfg, seed=11)
+        opt = OptConfig("sgd", 0.1)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        losses = []
+        for i, bt in enumerate(batches):
+            params, st, loss = step(params, st, Batch(*map(jnp.asarray, bt)), i)
+            losses.append(float(loss))
+        outs[impl] = (losses, np.asarray(params["emb"][0]))
+    np.testing.assert_allclose(outs["stream"][0], outs["xla"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["stream"][1], outs["xla"][1],
+                               rtol=1e-4, atol=1e-5)
