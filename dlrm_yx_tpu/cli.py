@@ -116,7 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="naive | naive_chunk | greedy | hardcode | input")
     p.add_argument("--allocation", type=str, default="",
                    help="comma/dash-separated table->device ids for --sharder=input")
-    p.add_argument("--lookup-impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument("--lookup-impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="accepted for compat; the fused DMA lookup kernel "
+                        "was removed after losing to the XLA gather at "
+                        "every measured (L, D) — both values use XLA "
+                        "(MEASUREMENTS.md crossover table)")
     p.add_argument("--sparse-update-impl", type=str, default="xla",
                    choices=["xla", "pallas", "stream"],
                    help="pallas = row-RMW kernel for big-table updates "

@@ -72,7 +72,8 @@ class DLRMConfig:
     # expectation. Kernel path only, like the reference.
     stochastic_rounding: bool = False
     # 'xla' = native gather (fastest measured on v5e); 'pallas' = fused DMA
-    # kernel (ops/pallas_embedding.py), requires all dims % 128 == 0
+    # kernel (REMOVED round 3 — lost to the XLA gather at every measured
+    # L x D; 'pallas' is accepted for flag parity and maps to 'xla')
     lookup_impl: str = "xla"
     # sparse optimizer update path: 'xla' = scatter-add (XLA:TPU rewrites the
     # whole store every step — exact but slow for multi-GB stores); 'pallas'

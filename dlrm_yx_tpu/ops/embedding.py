@@ -19,7 +19,7 @@ TPU-native design:
     ``[total_rows/pack, 128]``. XLA lays a narrow [R, dim] array out with
     lane-padded (8, 128) tiles — pack× wasted HBM and a relayout copy at
     every kernel call; the packed layout is compact and is what the Pallas
-    kernels (ops/pallas_sparse_update.py, ops/pallas_embedding.py) DMA
+    kernels (ops/pallas_sparse_update.py, ops/pallas_stream_update.py) DMA
     directly. Dims ≥ 128 (or not dividing 128) keep the natural
     ``[total_rows, dim]`` shape (pack == 1).
   * Sparse inputs are fixed shape: ``indices [T, B, L]`` int32 and
@@ -217,24 +217,19 @@ def lookup_group(
     vw: optional [total_rows] learned/fixed per-row pooling weights
         (the reference's v_W_l, gathered by index:
         dlrm_s_pytorch.py:545-548).
-    impl: 'xla' (native gather — measured fastest on v5e at L=1, see
-        ops/pallas_embedding.py) or 'pallas' (fused DMA kernel; dims must
-        divide or be a multiple of 128).
+    impl: accepted for CLI parity; the fused-DMA pallas lookup kernel was
+        REMOVED in round 3 after losing to the XLA gather at every measured
+        (L, D) — crossover table in MEASUREMENTS.md, decision in PARITY.md
+        (per-sample sequential DMA issue cannot beat the gather unit's
+        issue rate). All lookups take the XLA path.
     Returns pooled [T, B, dim] = sum_l w * store[idx].
     """
+    del impl
     t, b, l = indices.shape
     gidx = global_row_ids(group, indices)
     w = weights
     if vw is not None:
         w = w * jnp.take(vw, gidx.reshape(-1)).reshape(t, b, l)
-    if impl == "pallas" and store.dtype == jnp.float32:
-        from dlrm_yx_tpu.ops import pallas_embedding as pe
-
-        if pe.supports_dim(group.dim):
-            return pe.fused_lookup(
-                store, jnp.minimum(gidx, group.total_rows - 1), w,
-                dim=group.dim,
-            )
     if group.pack > 1:
         # stay 128-lane-wide: gather physical rows, mask each contribution
         # to its lane block, pool, then fold blocks. A take_along_axis on a
