@@ -107,16 +107,18 @@ def collect_execution_graph(
 
 def cost_analysis(fn, args) -> Dict[str, Any]:
     """FLOPs / bytes-accessed estimate of one jitted call (the reference's
-    per-phase profiling numbers, via XLA's own cost model)."""
-    compiled = jax.jit(fn).lower(*args).compile()
+    per-phase profiling numbers, via XLA's own cost model).
+
+    Pass an ALREADY-JITTED fn to reuse its compilation cache (a fresh
+    jax.jit here would recompile the whole step — minutes at bench scale)."""
+    lower = fn.lower if hasattr(fn, "lower") else jax.jit(fn).lower
+    compiled = lower(*args).compile()
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0] if ca else {}
     return {
         k: float(v)
         for k, v in (ca or {}).items()
-        if isinstance(v, (int, float)) and k in (
-            "flops", "bytes accessed", "optimal_seconds",
-            "bytes accessed output", "utilization operand 0 {}",
-        ) or k == "flops" or "bytes" in k
+        if isinstance(v, (int, float))
+        and k in ("flops", "bytes accessed", "optimal_seconds")
     }

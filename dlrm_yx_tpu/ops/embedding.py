@@ -305,6 +305,12 @@ def flat_row_grads(
             t * b * l8, width
         )
         return gidx.reshape(-1), flat_g
+    if l == 1:
+        # no size-1 L axis: a [T,B,1,D] intermediate gets a T(1,128)
+        # layout (one sublane per tile, ~5x the elementwise cost —
+        # profiled 0.10 ms at the headline config)
+        flat_g = (w[:, :, 0, None] * g_pooled).reshape(t * b, group.dim)
+        return gidx.reshape(-1), flat_g
     flat_g = (w[..., None] * g_pooled[:, :, None, :]).reshape(t * b * l, group.dim)
     return gidx.reshape(-1), flat_g
 

@@ -46,14 +46,23 @@ def interact_features(
             if jnp.dtype(compute_dtype) == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
+        f = t.shape[1]
+        # pad the slot axis to a sublane multiple: an odd F (27 for Criteo)
+        # makes XLA relayout the bmm operands ({2,1,0} <-> {0,2,1} copies,
+        # ~0.29 ms/step at the headline config); zero rows add nothing to
+        # the dot products and the tril gather below never reads them
+        f_pad = (-f) % 8
+        if f_pad:
+            tc = jnp.pad(tc, ((0, 0), (0, f_pad), (0, 0)))
         z = jnp.einsum(
             "bfd,bgd->bfg", tc, tc, precision=precision,
             preferred_element_type=jnp.float32,
-        )  # [B, F, F]
-        f = t.shape[1]
+        )  # [B, Fp, Fp]
+        fp = f + f_pad
         offset = 0 if interact_itself else -1
-        flat_idx = tril_flat_indices(f, offset)
-        zflat = z.reshape(b, f * f)[:, flat_idx]
+        li, lj = np.tril_indices(f, k=offset)
+        flat_idx = (li * fp + lj).astype(np.int32)
+        zflat = z.reshape(b, fp * fp)[:, flat_idx]
         return jnp.concatenate([x, zflat], axis=1)
     elif op == "cat":
         return t.reshape(b, -1)
