@@ -157,9 +157,7 @@ def main():
     from dlrm_yx_tpu.export import cost_analysis
 
     try:
-        ca = cost_analysis(
-            make_train_step(cfg, opt, jit=False), (params, state, bs[0], 0)
-        )
+        ca = cost_analysis(step, (params, state, bs[0], 0))
     except Exception as e:  # cost model availability varies by backend
         ca = {"error": str(e)}
     else:
