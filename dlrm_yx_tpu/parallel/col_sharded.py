@@ -162,7 +162,9 @@ def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
         acc = jnp.zeros_like(emb)
     else:
         n128 = (emb.shape[1] + 127) // 128 * 128
-        acc = jnp.zeros((emb.shape[0], n128 // 128, 128), jnp.float32)
+        # round 3: FLAT per shard (see row_sharded) — avoids the T(1,128)
+        # boundary layout on the size-1 shard axis
+        acc = jnp.zeros((emb.shape[0] * n128,), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("vw") is not None:
         state["vw"] = jnp.zeros_like(params["vw"])
@@ -233,9 +235,12 @@ def make_col_sharded_train_step(
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]  # [total_rows, d_local]
-        acc = opt_state["emb"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc = acc.reshape(-1)  # bitcast: [n128, 128] -> [R128]
+            acc = opt_state["emb"]  # flat 1-D shard
+        elif opt.name != "sgd":
+            acc = opt_state["emb"][0]
+        else:
+            acc = None
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
         pooled_local, w_eff, row_vals = _local_pooled(
@@ -322,8 +327,9 @@ def make_col_sharded_train_step(
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc2 = acc2.reshape(-1, 128)
-            new_state["emb"] = acc2[None]
+                new_state["emb"] = acc2  # flat per shard
+            else:
+                new_state["emb"] = acc2[None]
         if vw is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_pooled_full, store_full[row]>
             # = psum over "model" of the per-slice partial dots (each shard
@@ -407,9 +413,12 @@ def make_col_sharded_accum_train_step(
     def local_step(params, opt_state, batches, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]
-        acc = opt_state["emb"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc = acc.reshape(-1)
+            acc = opt_state["emb"]  # flat 1-D shard
+        elif opt.name != "sgd":
+            acc = opt_state["emb"][0]
+        else:
+            acc = None
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
 
@@ -501,8 +510,9 @@ def make_col_sharded_accum_train_step(
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc2 = acc2.reshape(-1, 128)
-            new_state["emb"] = acc2[None]
+                new_state["emb"] = acc2  # flat per shard
+            else:
+                new_state["emb"] = acc2[None]
         return new_params, new_state, loss
 
     pspecs = {

@@ -168,7 +168,13 @@ def init_hybrid_opt_state(
         # (8,128) tiling and flattens to 1-D as a bitcast
         n_log = e.shape[1] * pack
         n128 = (n_log + 127) // 128 * 128
-        return jnp.zeros((e.shape[0], n128 // 128, 128), jnp.float32)
+        # round 3: carried FLAT per shard — global [n_shard * n128] 1-D
+        # sharded over "model". A [1, n128/128, 128] boundary block puts
+        # the size-1 shard axis in sublanes (T(1,128): one sublane per
+        # tile) and XLA pays ~0.28 ms/step of relayout reduce/broadcast
+        # pairs; the flat form crosses in the native T(1024) 1-D tiling
+        # the momentum scatters want.
+        return jnp.zeros((e.shape[0] * n128,), jnp.float32)
 
     state = {
         "dense": dense,
@@ -437,11 +443,14 @@ def make_hybrid_accum_train_step(
         )
         store_b = params["emb"][0]
         store_s = params["emb_small"][0]
-        acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
-        acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc_b = acc_b.reshape(-1)
-            acc_s = acc_s.reshape(-1)
+            acc_b = opt_state["emb"]        # flat 1-D shard [n128]
+            acc_s = opt_state["emb_small"]
+        elif opt.name != "sgd":
+            acc_b = opt_state["emb"][0]
+            acc_s = opt_state["emb_small"][0]
+        else:
+            acc_b = acc_s = None
         row_dim_b = row_dim_s = None
         if row_dim_big_all is not None:
             row_dim_b = jax.lax.dynamic_index_in_dim(
@@ -605,10 +614,11 @@ def make_hybrid_accum_train_step(
         new_params["emb_small"] = store_s2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc_b2 = acc_b2.reshape(-1, 128)
-                acc_s2 = acc_s2.reshape(-1, 128)
-            new_state["emb"] = acc_b2[None]
-            new_state["emb_small"] = acc_s2[None]
+                new_state["emb"] = acc_b2          # flat per shard
+                new_state["emb_small"] = acc_s2
+            else:
+                new_state["emb"] = acc_b2[None]
+                new_state["emb_small"] = acc_s2[None]
         return new_params, new_state, loss
 
     pspecs = {
@@ -701,11 +711,14 @@ def make_hybrid_train_step(
         offs = jax.lax.dynamic_index_in_dim(jnp.asarray(offs_all), m, 0, keepdims=False)
         store_b = params["emb"][0]        # big-table shard [r_big_pad, dim]
         store_s = params["emb_small"][0]  # small-table shard [r_small_pad, dim]
-        acc_b = opt_state["emb"][0] if opt.name != "sgd" else None
-        acc_s = opt_state["emb_small"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc_b = acc_b.reshape(-1)  # bitcast: [n128, 128] -> [R128]
-            acc_s = acc_s.reshape(-1)
+            acc_b = opt_state["emb"]        # flat 1-D shard [n128]
+            acc_s = opt_state["emb_small"]
+        elif opt.name != "sgd":
+            acc_b = opt_state["emb"][0]
+            acc_s = opt_state["emb_small"][0]
+        else:
+            acc_b = acc_s = None
         row_dim_b = row_dim_s = None
         if row_dim_big_all is not None:
             row_dim_b = jax.lax.dynamic_index_in_dim(
@@ -955,10 +968,11 @@ def make_hybrid_train_step(
         new_params["emb_small"] = store_s2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc_b2 = acc_b2.reshape(-1, 128)
-                acc_s2 = acc_s2.reshape(-1, 128)
-            new_state["emb"] = acc_b2[None]
-            new_state["emb_small"] = acc_s2[None]
+                new_state["emb"] = acc_b2          # flat per shard
+                new_state["emb_small"] = acc_s2
+            else:
+                new_state["emb"] = acc_b2[None]
+                new_state["emb_small"] = acc_s2[None]
         if vw_b is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_pooled, store[row]>
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d

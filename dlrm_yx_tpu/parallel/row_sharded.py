@@ -216,9 +216,12 @@ def init_row_sharded_opt_state(
         # [ceil(R/128), 128] per shard — a [1, R] shard_map boundary value
         # takes a T(1,128) layout and pays chunked relayout while-loops
         # every step (see parallel/hybrid.py)
+        # round 3: FLAT per shard (global 1-D sharded over "model") — even
+        # the [1, n128/128, 128] form puts the size-1 shard axis in
+        # sublanes (T(1,128)) and pays relayout pairs at the boundary
         n_log = emb.shape[1] * pack
         n128 = (n_log + 127) // 128 * 128
-        acc = jnp.zeros((emb.shape[0], n128 // 128, 128), jnp.float32)
+        acc = jnp.zeros((emb.shape[0] * n128,), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("vw") is not None:
         state["vw"] = jnp.zeros_like(params["vw"])
@@ -343,9 +346,12 @@ def make_row_sharded_train_step(
     def local_step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]  # [rows_local, dim]
-        acc = opt_state["emb"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc = acc.reshape(-1)  # bitcast: [n128, 128] -> [R128]
+            acc = opt_state["emb"]  # flat 1-D shard
+        elif opt.name != "sgd":
+            acc = opt_state["emb"][0]
+        else:
+            acc = None
 
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
@@ -444,8 +450,9 @@ def make_row_sharded_train_step(
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc2 = acc2.reshape(-1, 128)
-            new_state["emb"] = acc2[None]
+                new_state["emb"] = acc2  # flat per shard
+            else:
+                new_state["emb"] = acc2[None]
         if vw is not None and config.weighted_pooling == "learned":
             # d loss / d vw[row] += base_w * <g_full, store[row]>
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
@@ -532,9 +539,12 @@ def make_row_sharded_accum_train_step(
     def local_step(params, opt_state, batches, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
         store = params["emb"][0]
-        acc = opt_state["emb"][0] if opt.name != "sgd" else None
         if opt.name == "rwsadagrad":
-            acc = acc.reshape(-1)
+            acc = opt_state["emb"]  # flat 1-D shard
+        elif opt.name != "sgd":
+            acc = opt_state["emb"][0]
+        else:
+            acc = None
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
 
@@ -625,8 +635,9 @@ def make_row_sharded_accum_train_step(
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
-                acc2 = acc2.reshape(-1, 128)
-            new_state["emb"] = acc2[None]
+                new_state["emb"] = acc2  # flat per shard
+            else:
+                new_state["emb"] = acc2[None]
         return new_params, new_state, loss
 
     pspecs = {
