@@ -205,22 +205,37 @@ def lookup_all_groups(
     indices: jax.Array,
     weights: jax.Array,
     impl: str = "xla",
-) -> List[jax.Array]:
-    """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]]."""
+    want_rows: bool = False,
+):
+    """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]];
+    with want_rows also returns the raw gathered rows per group (L=1
+    natural-layout groups only, else None) — the write-only sparse update
+    reuses them to skip its DMA read phase."""
     vw = params.get("vw")
     out = []
+    rows_out = []
     with phase_scope("embedding_lookup"):
         for gi, g in enumerate(groups):
-            out.append(
-                lookup_group(
-                    params["emb"][gi],
-                    g,
-                    group_indices(g, indices),
-                    group_indices(g, weights),
-                    vw[gi] if vw is not None else None,
-                    impl=impl,
-                )
+            idx_g = group_indices(g, indices)
+            rows_ok = want_rows and g.pack == 1 and idx_g.shape[2] == 1
+            res = lookup_group(
+                params["emb"][gi],
+                g,
+                idx_g,
+                group_indices(g, weights),
+                vw[gi] if vw is not None else None,
+                impl=impl,
+                return_rows=rows_ok,
             )
+            if rows_ok:
+                pooled_g, rows_g = res
+                out.append(pooled_g)
+                rows_out.append(rows_g)
+            else:
+                out.append(res)
+                rows_out.append(None)
+    if want_rows:
+        return out, rows_out
     return out
 
 

@@ -208,6 +208,7 @@ def lookup_group(
     weights: jax.Array,
     vw: Optional[jax.Array] = None,
     impl: str = "xla",
+    return_rows: bool = False,
 ) -> jax.Array:
     """Pooled-sum lookup.
 
@@ -257,7 +258,16 @@ def lookup_group(
         t, b, l, group.dim
     )
     if l == 1:
-        return rows[:, :, 0, :].astype(jnp.float32) * w[:, :, 0][..., None]
+        r1 = rows[:, :, 0, :].astype(jnp.float32)
+        pooled = r1 * w[:, :, 0][..., None]
+        if return_rows:
+            # the gathered rows ARE the rows the optimizer will update —
+            # returning them lets the write-only update kernel skip its
+            # per-row DMA read phase (ops/pallas_sparse_update.
+            # sparse_rows_write); no extra gather — XLA reuses the one
+            # materialization
+            return pooled, r1
+        return pooled
     # pooling is bandwidth-bound: a fused VPU multiply-sum is exact f32,
     # while an einsum would lower to bf16 MXU passes on TPU (measured
     # ~1e-3 relative error at L=100 — the reference pools in f32)

@@ -227,7 +227,8 @@ TAIL_BLOCK = 256
 
 
 def _tail_kernel(bflag_ref, tid_ref, upd_hbm, store_ref, out_ref, rrow, urow,
-                 rsem, usem, wsem, *, kk: int, pk: int, k: int):
+                 rsem, usem, wsem, *, kk: int, pk: int, k: int,
+                 tb: int = TAIL_BLOCK):
     """Serialized exact pass for conflicted items. bflag_ref: SMEM
     [k/TAIL_BLOCK] any-conflict-in-block flags (scanning all k items costs
     ~15 ns/branch on the scalar core — 0.25 ms of pure idle at k=16k —
@@ -278,12 +279,12 @@ def _tail_kernel(bflag_ref, tid_ref, upd_hbm, store_ref, out_ref, rrow, urow,
         @pl.when(bflag_ref[b] > 0)
         def _():
             jax.lax.fori_loop(
-                b * TAIL_BLOCK, jnp.minimum((b + 1) * TAIL_BLOCK, k), item, 0
+                b * tb, jnp.minimum((b + 1) * tb, k), item, 0
             )
 
         return 0
 
-    jax.lax.fori_loop(0, pl.cdiv(k, TAIL_BLOCK), block, 0)
+    jax.lax.fori_loop(0, pl.cdiv(k, tb), block, 0)
 
 
 @functools.partial(
@@ -454,4 +455,183 @@ def sparse_rows_add(
         input_output_aliases={3: 0},
         interpret=interpret,
     )(bflag, tid, upd_phys, out)
+    return out.reshape(r_phys, width)
+
+
+def _wkernel(bflag_ref, idx_ref, vals_ref, store_ref, out_ref, wsem,
+             *, bk: int, kk: int):
+    """Write-only pass: out[idx[s]*kk : +kk] = vals[s] — no read phase, so
+    each item costs ONE DMA issue instead of the RMW kernel's two (the
+    40 ns/row issue cost roughly halves). Rows must be unique among live
+    items (duplicates are redirected by the caller to the serialized RMW
+    tail); redirected items point at the sentinel unit."""
+    del store_ref
+
+    @pl.when(bflag_ref[pl.program_id(0)] > 0)
+    def _run():
+        def src(s):
+            if kk == 1:
+                return vals_ref.at[pl.ds(s, 1), :]
+            return vals_ref.at[s]
+
+        def write(slot, s):
+            pltpu.make_async_copy(
+                src(s), out_ref.at[pl.ds(idx_ref[s] * kk, kk)], wsem.at[slot]
+            ).start()
+
+        def wait_write(slot):
+            pltpu.make_async_copy(
+                src(0), out_ref.at[pl.ds(0, kk)], wsem.at[slot]
+            ).wait()
+
+        def body1(s, _):
+            write(s % W, s)
+            return 0
+
+        jax.lax.fori_loop(0, W, body1, 0)
+
+        def body2(s, _):
+            slot = s % W
+            wait_write(slot)
+            write(slot, s)
+            return 0
+
+        jax.lax.fori_loop(W, bk, body2, 0)
+        for s in range(W):
+            wait_write(s)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sparse_rows_overwrite(
+    store: jax.Array,
+    idx: jax.Array,
+    new_vals: jax.Array,
+    delta: jax.Array,
+    active: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """``store[idx[k]] = new_vals[k]`` for active items whose row appears
+    ONCE in the batch; duplicate-row occurrences apply as serialized exact
+    RMW adds of ``delta[k]`` instead (their new_vals are ignored — each
+    was computed from the same pre-update row).
+
+    The write-only fast path exists because the updated rows are exactly
+    the rows the forward lookup already gathered: the caller computes
+    new = gathered_row + delta in-graph and the kernel skips its DMA read
+    phase. float32 natural-layout stores only (width % 128 == 0; packed
+    sub-128 stores share physical rows between logical rows and cannot be
+    written blind). Duplicates are detected across the WHOLE batch (sort +
+    neighbor compare — the RMW kernel only needs its 2W hazard window, a
+    blind write needs global uniqueness).
+    """
+    if store.dtype != jnp.float32:
+        raise ValueError("sparse_rows_overwrite: float32 stores only")
+    r_phys, width = store.shape
+    if width % LANES:
+        raise ValueError("sparse_rows_overwrite: width % 128 != 0")
+    kk = width // LANES
+    k0 = idx.shape[0]
+
+    active = active.astype(jnp.int32)
+    safe_idx = jnp.where(
+        active > 0, jnp.clip(idx, 0, r_phys - 1 - 8), 0
+    ).astype(jnp.int32)
+
+    # whole-range duplicate detection: sort with a position payload, flag
+    # sorted-neighbor equality, and UNSORT THE FLAGS WITH A SECOND SORT —
+    # scatter-based unsorting costs ~7 ns per scalar issue (115 us at
+    # K=16k) while two [K] sorts + elementwise compares cost ~60 us total
+    iota = jnp.arange(k0, dtype=jnp.int32)
+    sortkey = jnp.where(active > 0, safe_idx, jnp.int32(2**30))
+    s_key, order = jax.lax.sort((sortkey, iota), num_keys=1)
+    left = jnp.concatenate([jnp.array([-1], jnp.int32), s_key[:-1]])
+    right = jnp.concatenate([s_key[1:], jnp.array([-2], jnp.int32)])
+    dup_sorted = (
+        ((s_key == left) | (s_key == right)) & (s_key < 2**30)
+    ).astype(jnp.int32)
+    _, dup_i = jax.lax.sort((order, dup_sorted), num_keys=1)
+    dup = dup_i > 0
+
+    redirect = (active == 0) | dup
+    sentinel_unit = r_phys - 1
+    main_idx = jnp.where(redirect, sentinel_unit, safe_idx).astype(jnp.int32)
+    main_vals = jnp.where(redirect[:, None], 0.0, new_vals.astype(jnp.float32))
+
+    bk = max(2 * W, min(BK, k0))
+    pad = (-k0) % bk
+    k = k0 + pad
+    if pad:
+        main_idx = jnp.pad(main_idx, (0, pad), constant_values=sentinel_unit)
+        main_vals = jnp.pad(main_vals, ((0, pad), (0, 0)))
+    live = jnp.pad((~redirect).astype(jnp.int32), (0, pad))
+    bflag = jnp.max(live.reshape(k // bk, bk), axis=1)
+
+    store_phys = store.reshape(r_phys * kk, LANES)
+    out = pl.pallas_call(
+        functools.partial(_wkernel, bk=bk, kk=kk),
+        grid=(k // bk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            (
+                pl.BlockSpec(
+                    (bk, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                )
+                if kk == 1
+                else pl.BlockSpec(
+                    (bk, kk, LANES), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(store_phys.shape, store_phys.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((W,))],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        bflag,
+        main_idx,
+        main_vals if kk == 1 else main_vals.reshape(k, kk, LANES),
+        store_phys,
+    )
+
+    # serialized exact RMW tail for duplicate occurrences (reuses the RMW
+    # kernel's tail: read -> add delta -> write, one item at a time).
+    # Duplicates are ~tens of items spread over the batch, so the scan
+    # granularity is much finer than the RMW tail's (flagged blocks scan
+    # every item with a ~30 ns branch; 64-item blocks keep that ~50 us
+    # instead of ~120 at 256)
+    tb = 64
+    tid = jnp.where(dup & (active > 0), safe_idx, -1).astype(jnp.int32)
+    nblk = (k0 + tb - 1) // tb
+    dpad = jnp.pad(
+        (dup & (active > 0)).astype(jnp.int32), (0, nblk * tb - k0)
+    )
+    tflag = jnp.max(dpad.reshape(nblk, tb), axis=1).astype(jnp.int32)
+    delta_phys = delta.astype(jnp.float32).reshape(k0 * kk, LANES)
+    out = pl.pallas_call(
+        functools.partial(_tail_kernel, kk=kk, pk=1, k=k0, tb=tb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(out.shape, out.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kk, LANES), store.dtype),
+            pltpu.VMEM((kk, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(tflag, tid, delta_phys, out)
     return out.reshape(r_phys, width)

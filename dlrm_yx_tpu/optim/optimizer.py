@@ -159,6 +159,7 @@ def sparse_update(
     size_class: int = 1,
     dim: int | None = None,
     exact_momentum: bool = False,
+    old_rows=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
@@ -228,14 +229,33 @@ def sparse_update(
             # duplicates are plentiful.
             flat_idx, flat_g = coalesce_rows(flat_idx, flat_g, sentinel)
         active = (flat_idx < sentinel).astype(jnp.int32)
-        if opt.name == "sgd":
-            return (
-                psu.sparse_rows_add(
-                    store, flat_idx, -lr * flat_g, active, interpret=interpret,
-                    stochastic_round=stochastic_round, seed=sr_seed, dim=d,
-                ),
-                acc,
+        # write-only fast path: when the caller supplies the CURRENT store
+        # rows (the forward lookup's gather — L=1, natural layout), the
+        # new row values are computable in-graph and the kernel skips its
+        # per-row DMA READ phase (~half the 40 ns/row issue cost;
+        # ops/pallas_sparse_update.sparse_rows_overwrite). Coalescing
+        # reorders the stream, so exact_momentum keeps RMW.
+        can_overwrite = (
+            old_rows is not None
+            and not exact_momentum
+            and not stochastic_round
+            and pack == 1
+            and store.dtype == jnp.float32
+        )
+
+        def apply_store(delta):
+            if can_overwrite:
+                return psu.sparse_rows_overwrite(
+                    store, flat_idx, old_rows + delta, delta, active,
+                    interpret=interpret,
+                )
+            return psu.sparse_rows_add(
+                store, flat_idx, delta, active, interpret=interpret,
+                stochastic_round=stochastic_round, seed=sr_seed, dim=d,
             )
+
+        if opt.name == "sgd":
+            return apply_store(-lr * flat_g), acc
         safe = jnp.where(active > 0, flat_idx, sentinel)
         if opt.name == "adagrad":
             acc = psu.sparse_rows_add(
@@ -251,14 +271,7 @@ def sparse_update(
                 )
                 + opt.eps
             )
-            return (
-                psu.sparse_rows_add(
-                    store, flat_idx, -lr * flat_g / denom, active,
-                    interpret=interpret,
-                    stochastic_round=stochastic_round, seed=sr_seed, dim=d,
-                ),
-                acc,
-            )
+            return apply_store(-lr * flat_g / denom), acc
         # rwsadagrad: 1-D per-LOGICAL-row momentum — the [R] scatter is a
         # cheap full rewrite (4 bytes/row), no kernel needed. Off-block
         # lanes are zero, so the sum over the physical width IS the sum
@@ -274,14 +287,7 @@ def sparse_update(
         denom = (
             jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
         )
-        return (
-            psu.sparse_rows_add(
-                store, flat_idx, -lr * flat_g / denom[:, None], active,
-                interpret=interpret,
-                stochastic_round=stochastic_round, seed=sr_seed, dim=d,
-            ),
-            acc,
-        )
+        return apply_store(-lr * flat_g / denom[:, None]), acc
 
     punit = flat_idx // pack if pack > 1 else flat_idx
     if opt.name == "sgd":

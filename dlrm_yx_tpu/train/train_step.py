@@ -63,13 +63,16 @@ def apply_gradients(
     lr,
     g_qr_pooled=(),
     sr_seed=0,
+    raw_rows=None,
 ):
     """Shared between the single-device and hybrid-parallel steps: dense
-    updates + sparse per-group row updates from the pooled cotangent."""
+    updates + sparse per-group row updates from the pooled cotangent.
+    raw_rows: optional per-group gathered store rows from the forward
+    lookup (L=1 groups) — enables the write-only sparse update."""
     with phase_scope("optimizer"):
         return _apply_gradients(
             config, opt, groups, params, opt_state, batch, g_dense,
-            g_pooled, lr, g_qr_pooled, sr_seed,
+            g_pooled, lr, g_qr_pooled, sr_seed, raw_rows,
         )
 
 
@@ -85,6 +88,7 @@ def _apply_gradients(
     lr,
     g_qr_pooled=(),
     sr_seed=0,
+    raw_rows=None,
 ):
     new_params = dict(params)
     new_state = dict(opt_state)
@@ -194,12 +198,19 @@ def _apply_gradients(
             )
         else:
             fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled[gi], vw_g)
+            old_rows = None
+            if raw_rows is not None and raw_rows[gi] is not None:
+                t_r, b_r, d_r = raw_rows[gi].shape
+                old_rows = jax.lax.stop_gradient(
+                    raw_rows[gi].reshape(t_r * b_r, d_r)
+                )
             store2, acc2 = sparse_update(
                 opt, params["emb"][gi], acc, fidx, fg, lr, g.total_rows,
                 impl=config.sparse_update_impl, interpret=_interpret(),
                 stochastic_round=config.stochastic_rounding, sr_seed=sr_seed,
                 size_class=g.size_class, dim=g.dim,
                 exact_momentum=config.exact_row_momentum,
+                old_rows=old_rows,
             )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
@@ -235,8 +246,9 @@ def make_train_step(
 
     def step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
-        pooled = lookup_all_groups(
-            params, groups, batch.indices, batch.weights, config.lookup_impl
+        pooled, raw_rows = lookup_all_groups(
+            params, groups, batch.indices, batch.weights, config.lookup_impl,
+            want_rows=True,
         )
         qr_pooled = (
             qr_lookup_all(params, config, batch.indices, batch.weights)
@@ -265,7 +277,7 @@ def make_train_step(
             )(dense_params, pooled, qr_pooled)
         new_params, new_state = apply_gradients(
             config, opt, groups, params, opt_state, batch, g_dense, g_pooled,
-            lr, g_qr, sr_seed=iteration,
+            lr, g_qr, sr_seed=iteration, raw_rows=raw_rows,
         )
         return new_params, new_state, loss
 

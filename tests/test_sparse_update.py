@@ -507,3 +507,74 @@ def test_exact_row_momentum_matches_xla_on_duplicates(monkeypatch):
             jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
         )
         assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6
+
+
+def test_write_only_update_matches_xla_in_train_step(monkeypatch):
+    """The write-only fast path (sparse_rows_overwrite via the lookup's
+    gathered rows) must produce the same trained store as the exact XLA
+    path — including duplicate rows, which reroute to the serialized RMW
+    tail. SGD is linear so the comparison is exact on a dup-heavy batch."""
+    import dataclasses
+
+    import dlrm_yx_tpu.optim.optimizer as om
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.train_step import make_train_step
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    base = DLRMConfig(
+        emb_rows=(1500, 1600), ln_bot=(4, 8, 128),
+        ln_top=(2 * 3 // 2 + 128, 8, 1),
+    )
+    r = np.random.RandomState(9)
+    t, b = 2, 16
+    batches = []
+    for _ in range(3):
+        idx = r.randint(0, 1500, (t, b, 1)).astype(np.int32)
+        idx[0, :6, 0] = idx[0, 0, 0]  # heavy dup row -> tail path
+        batches.append(Batch(
+            r.rand(b, 4).astype(np.float32), idx,
+            np.ones((t, b, 1), np.float32),
+            (r.rand(b, 1) > 0.5).astype(np.float32),
+        ))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = dataclasses.replace(base, sparse_update_impl=impl)
+        params = init_dlrm(cfg, seed=3)
+        opt = OptConfig("sgd", 0.1)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        for i, bt in enumerate(batches):
+            params, st, loss = step(params, st, Batch(*map(jnp.asarray, bt)), i)
+        outs[impl] = np.asarray(params["emb"][0])
+    np.testing.assert_allclose(
+        outs["pallas"][:-SENTINEL_ROWS], outs["xla"][:-SENTINEL_ROWS],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_sparse_rows_overwrite_dup_and_inactive():
+    from dlrm_yx_tpu.ops.pallas_sparse_update import sparse_rows_overwrite
+
+    r = np.random.RandomState(1)
+    R, K = 2048 + SENTINEL_ROWS, 300
+    store = r.randn(R, 128).astype(np.float32)
+    idx = r.randint(0, 2048, K).astype(np.int32)
+    idx[40:60] = idx[39]
+    active = (r.rand(K) > 0.2).astype(np.int32)
+    delta = r.randn(K, 128).astype(np.float32)
+    new_vals = store[idx] + delta
+    got = sparse_rows_overwrite(
+        jnp.asarray(store), jnp.asarray(idx), jnp.asarray(new_vals),
+        jnp.asarray(delta), jnp.asarray(active), interpret=True,
+    )
+    want = store.copy()
+    for kx in range(K):
+        if active[kx]:
+            want[idx[kx]] = want[idx[kx]] + delta[kx]
+    np.testing.assert_allclose(
+        np.asarray(got)[:-SENTINEL_ROWS], want[:-SENTINEL_ROWS],
+        rtol=1e-4, atol=1e-4,
+    )
