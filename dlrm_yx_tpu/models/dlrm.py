@@ -208,16 +208,16 @@ def lookup_all_groups(
     want_rows: bool = False,
 ):
     """Pooled lookups for every dim-group. Returns [pooled_g [T_g, B, dim_g]];
-    with want_rows also returns the raw gathered rows per group (L=1
-    natural-layout groups only, else None) — the write-only sparse update
-    reuses them to skip its DMA read phase."""
+    with want_rows also returns the raw gathered PHYSICAL rows per group
+    (L=1 groups, packed or natural; else None) — the write-only sparse
+    update reuses them to skip its DMA read phase."""
     vw = params.get("vw")
     out = []
     rows_out = []
     with phase_scope("embedding_lookup"):
         for gi, g in enumerate(groups):
             idx_g = group_indices(g, indices)
-            rows_ok = want_rows and g.pack == 1 and idx_g.shape[2] == 1
+            rows_ok = want_rows and idx_g.shape[2] == 1
             res = lookup_group(
                 params["emb"][gi],
                 g,

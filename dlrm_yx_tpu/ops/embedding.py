@@ -253,7 +253,12 @@ def lookup_group(
         pooled128 = jnp.sum(
             jnp.where(mask, rows128, 0.0) * w[..., None], axis=2
         )
-        return pooled128.reshape(t, b, group.pack, group.dim).sum(axis=2)
+        pooled = pooled128.reshape(t, b, group.pack, group.dim).sum(axis=2)
+        if return_rows and l == 1:
+            # the gathered PHYSICAL rows (all 128 lanes) enable the
+            # write-only update on packed stores too
+            return pooled, rows128[:, :, 0, :]
+        return pooled
     rows = jnp.take(store, gidx.reshape(-1), axis=0).reshape(
         t, b, l, group.dim
     )

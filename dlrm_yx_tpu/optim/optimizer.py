@@ -239,14 +239,19 @@ def sparse_update(
             old_rows is not None
             and not exact_momentum
             and not stochastic_round
-            and pack == 1
             and store.dtype == jnp.float32
         )
 
         def apply_store(delta):
             if can_overwrite:
+                # packed stores work too: old_rows are PHYSICAL rows (all
+                # 128 lanes from the lookup's gather) and delta is
+                # lane-placed, so new = old + delta is a full physical
+                # row; dup detection at physical granularity also
+                # serializes two logical rows sharing one physical row
+                pidx = flat_idx // pack if pack > 1 else flat_idx
                 return psu.sparse_rows_overwrite(
-                    store, flat_idx, old_rows + delta, delta, active,
+                    store, pidx, old_rows + delta, delta, active,
                     interpret=interpret,
                 )
             return psu.sparse_rows_add(

@@ -578,3 +578,51 @@ def test_sparse_rows_overwrite_dup_and_inactive():
         np.asarray(got)[:-SENTINEL_ROWS], want[:-SENTINEL_ROWS],
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_write_only_update_packed_store(monkeypatch):
+    """Write-only on PACKED sub-128-dim stores: the lookup's gathered
+    physical rows carry every lane, and two logical rows sharing one
+    physical row count as duplicates (serialized RMW tail). SGD exact vs
+    the XLA path."""
+    import dataclasses
+
+    import dlrm_yx_tpu.optim.optimizer as om
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.train_step import make_train_step
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    base = DLRMConfig(
+        emb_rows=(3000, 3200), ln_bot=(4, 8, 64),
+        ln_top=(2 * 3 // 2 + 64, 8, 1),
+    )
+    r = np.random.RandomState(11)
+    t, b = 2, 16
+    batches = []
+    for _ in range(3):
+        idx = r.randint(0, 3000, (t, b, 1)).astype(np.int32)
+        idx[0, 0, 0] = 100  # two logical rows in one physical (pack=2)
+        idx[0, 1, 0] = 101
+        idx[1, 2, 0] = idx[1, 3, 0]  # plain dup
+        batches.append(Batch(
+            r.rand(b, 4).astype(np.float32), idx,
+            np.ones((t, b, 1), np.float32),
+            (r.rand(b, 1) > 0.5).astype(np.float32),
+        ))
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = dataclasses.replace(base, sparse_update_impl=impl)
+        params = init_dlrm(cfg, seed=5)
+        opt = OptConfig("sgd", 0.1)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        for i, bt in enumerate(batches):
+            params, st, loss = step(params, st, Batch(*map(jnp.asarray, bt)), i)
+        outs[impl] = np.asarray(params["emb"][0])
+    np.testing.assert_allclose(
+        outs["pallas"][:-SENTINEL_ROWS], outs["xla"][:-SENTINEL_ROWS],
+        rtol=1e-5, atol=1e-6,
+    )
