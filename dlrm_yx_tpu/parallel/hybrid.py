@@ -942,12 +942,33 @@ def make_hybrid_train_step(
         # when sparse_update_impl='pallas')
         if nb > 0:
             idx_bf, g_bf = gathered(0, nb, gidx_b)
+            # write-only fast path: the local lookup already gathered the
+            # big store's raw (physical) rows; all_gather them alongside
+            # the grads so the kernel can write new = old + delta with one
+            # DMA issue per row (ops/pallas_sparse_update.
+            # sparse_rows_overwrite). One extra all_gather of the same
+            # volume as the grads exchange — ICI-cheap vs ~40 ns/row of
+            # read-DMA issues saved.
+            old_bf = None
+            if (
+                batch.indices.shape[2] == 1
+                and store_b.dtype == jnp.float32
+                and not config.exact_row_momentum
+                and not config.stochastic_rounding
+                and config.sparse_update_impl in ("pallas", "stream")
+            ):
+                old_loc = parts[0][2][:, :, 0, :].astype(jnp.float32)
+                old_bf = jax.lax.all_gather(
+                    old_loc.reshape(-1, old_loc.shape[-1]), "data",
+                    tiled=True,
+                )
             store_b2, acc_b2 = sparse_update(
                 opt, store_b, acc_b, idx_bf, g_bf, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
                 row_dim=row_dim_b,
                 exact_momentum=config.exact_row_momentum,
                 dim=plan.dim,
+                old_rows=old_bf,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b
