@@ -1,8 +1,14 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-"""fused_lookup (ops/pallas_embedding.py) vs XLA gather across L x D —
-the crossover table VERDICT r2 item 2 asked for. Forward lookup only,
-8 tables x 1M rows, mb 2048, XPlane-timed."""
+"""Lookup timing across L x D (forward only, 8 tables x 1M rows, mb 2048,
+XPlane-timed).
+
+HISTORICAL NOTE: this script produced the round-3 crossover table
+(MEASUREMENTS.md) comparing the fused-DMA pallas lookup kernel against the
+XLA gather; the kernel LOST 9/10 configs and was deleted (commit
+"Remove the fused DMA lookup kernel after the measured crossover" — check
+it out to reproduce the two-column table). On current code lookup_group
+always takes the XLA path, so this measures the shipped lookup only."""
 import glob
 import tempfile
 
@@ -47,25 +53,11 @@ def main():
         for l in (1, 4, 16, 64, 100):
             idx = jr.randint(jr.PRNGKey(1), (T, B, l), 0, ROWS, jnp.int32)
             w = jnp.ones((T, B, l), jnp.float32)
-            res = {}
-            for impl in ("xla", "pallas"):
-                try:
-                    res[impl] = timed(
-                        lambda s, i, ww, im=impl: lookup_group(
-                            s, g, i, ww, None, impl=im
-                        ),
-                        (store, idx, w),
-                    )
-                except Exception as e:
-                    res[impl] = float("nan")
-                    print(f"D={d} L={l} {impl} FAILED {str(e)[:90]}",
-                          flush=True)
-            print(
-                f"D={d:4d} L={l:4d}  xla {res['xla']:8.3f} ms   "
-                f"pallas {res['pallas']:8.3f} ms   "
-                f"winner={'pallas' if res['pallas'] < res['xla'] else 'xla'}",
-                flush=True,
+            ms = timed(
+                lambda s, i, ww: lookup_group(s, g, i, ww, None),
+                (store, idx, w),
             )
+            print(f"D={d:4d} L={l:4d}  xla {ms:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

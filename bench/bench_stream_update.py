@@ -55,7 +55,6 @@ def main():
     timed(lambda s, p, u: sorted_stream_add(s, p, u), (fresh(), pos, upd),
           "sorted_stream_add (donated)", donate=(0,))
     # sanity: same result on a small prefix
-    s0 = jnp.zeros((RP, 128), jnp.float32)
     a = jax.jit(lambda p, u: jnp.zeros((RP, 128), jnp.float32).at[p].add(u))(pos, upd)
     b = jax.jit(lambda p, u: sorted_stream_add(
         jnp.zeros((RP, 128), jnp.float32), p, u))(pos, upd)

@@ -204,22 +204,20 @@ def config_from_args(args) -> DLRMConfig:
         # up-projection when --md-flag is on), so the user never
         # hand-duplicates the arch in --arch-embedding-size (the reference
         # builds ln_emb/m_spa the same way, dlrm_s_pytorch.py:1405-1441).
-        import json as _json
-        import os as _os
+        from dlrm_yx_tpu.data.processed import load_table_configs
 
-        with open(
-            _os.path.join(args.load_processed, "table_configs.json")
-        ) as f:
-            tcs = _json.load(f)["tables"]
-        rows = [int(tc["row"]) for tc in sorted(tcs, key=lambda c: c["index"])]
-        dims = tuple(
-            int(tc["dim"]) for tc in sorted(tcs, key=lambda c: c["index"])
-        )
+        tcs = load_table_configs(args.load_processed)["tables"]
+        rows = [int(tc["row"]) for tc in tcs]
+        dims = tuple(int(tc["dim"]) for tc in tcs)
         return DLRMConfig.build(
             emb_rows=rows,
             emb_dims=dims,
             ln_bot=parse_int_list(args.arch_mlp_bot),
             ln_top=parse_int_list(args.arch_mlp_top),
+            qr_flag=args.qr_flag,
+            qr_threshold=args.qr_threshold,
+            qr_collisions=args.qr_collisions,
+            qr_operation=args.qr_operation,
             md_flag=args.md_flag,
             md_threshold=args.md_threshold,
             interaction=args.arch_interaction_op,
@@ -296,6 +294,15 @@ def make_data(args, cfg):
                 f"ERROR: processed data has {batches[0].indices.shape[0]} "
                 f"tables but the model was built with {cfg.num_tables} "
                 "(table_configs.json and data.npz disagree)"
+            )
+        tc_rows = tuple(int(t["row"]) for t in tc["tables"])
+        if tuple(cfg.emb_rows) != tc_rows:
+            sys.exit(
+                f"ERROR: model table rows {tuple(cfg.emb_rows)} != "
+                f"table_configs.json rows {tc_rows} — a stale or "
+                "hand-specified --arch-embedding-size would silently clamp "
+                "out-of-range indices; rebuild the arch from the dataset "
+                "(omit --arch-embedding-size with --load-processed)"
             )
         return batches, (lambda: batches)
     if args.data_generation == "random":

@@ -104,12 +104,20 @@ def save_processed(path_dir: str, table_configs: dict, batches: List[Batch]) -> 
     )
 
 
+def load_table_configs(path_dir: str) -> dict:
+    """Read table_configs.json (tables sorted by index) — shared by the
+    CLI's arch wiring and the batch loader."""
+    with open(os.path.join(path_dir, "table_configs.json")) as f:
+        tc = json.load(f)
+    tc["tables"] = sorted(tc["tables"], key=lambda c: c["index"])
+    return tc
+
+
 def load_processed(path_dir: str) -> Tuple[dict, List[Batch]]:
     """Returns (table_configs, batches). Use table config rows/dims to build
     the model (the reference wires these into ln_emb/emb dims at
     dlrm_s_pytorch.py:1405-1441)."""
-    with open(os.path.join(path_dir, "table_configs.json")) as f:
-        tc = json.load(f)
+    tc = load_table_configs(path_dir)
     with np.load(os.path.join(path_dir, "data.npz")) as d:
         n = d["dense"].shape[0]
         batches = [

@@ -1115,7 +1115,7 @@ class HybridRunner:
         seed: int = 123,
         n_accum: int = 1,
     ):
-        from dlrm_yx_tpu.parallel.mesh import make_mesh, mesh_jit
+        from dlrm_yx_tpu.parallel.mesh import make_mesh
         from dlrm_yx_tpu.parallel.plan import arrange_sparse_inputs, make_plan
 
         self.config = config

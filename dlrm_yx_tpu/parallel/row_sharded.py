@@ -738,7 +738,7 @@ class RowShardedRunner:
 
     def __init__(self, config, opt, data=1, model=None, lr_fn=None, seed=123,
                  n_accum=1):
-        from dlrm_yx_tpu.parallel.mesh import make_mesh, mesh_jit
+        from dlrm_yx_tpu.parallel.mesh import make_mesh
 
         self.config = config
         self.opt = opt

@@ -229,6 +229,20 @@ class Trainer:
             # worker prefetch + non-blocking H2D for the same purpose;
             # per-step blocking would serialize the ~30 ms relay round trip
             # and the batch transfer with compute)
+            def drain():
+                """Fetch pending device losses and record their span in the
+                epoch timer — called at EVERY chain boundary (print, eval,
+                epoch end) so tail/partial blocks count in the average."""
+                nonlocal pending
+                if not pending:
+                    return []
+                losses = [float(x) for x in pending]
+                span = _time.perf_counter() - span_t0
+                for _ in pending:
+                    epoch_timer.times.append(span / len(pending))
+                pending = []
+                return losses
+
             nxt = None
             j = -1
             while True:
@@ -259,15 +273,13 @@ class Trainer:
                 self.iteration += 1
 
                 if tcfg.print_freq and self.iteration % tcfg.print_freq == 0:
-                    losses = [float(x) for x in pending]  # drains the chain
-                    span = _time.perf_counter() - span_t0
-                    ms = span / len(pending) * 1e3
+                    n_chain = len(pending)
+                    t_before = _time.perf_counter()
                     # warmup-excluded per-iter bookkeeping (the reference's
                     # CUDA-event epoch average, dlrm_s_pytorch.py:1966-1988)
-                    for _ in range(len(pending)):
-                        epoch_timer.times.append(span / len(pending))
+                    losses = drain()
+                    ms = (t_before - span_t0 + (_time.perf_counter() - t_before)) / n_chain * 1e3
                     avg_loss = sum(losses) / max(len(losses), 1)
-                    pending = []
                     rank0_print(
                         f"Finished training it {self.iteration} of epoch "
                         f"{epoch}, {ms:.2f} ms/it, loss {avg_loss:.6f}"
@@ -280,15 +292,11 @@ class Trainer:
                     and tcfg.test_freq
                     and self.iteration % tcfg.test_freq == 0
                 ):
-                    if pending:
-                        _ = [float(x) for x in pending]
-                        pending = []
+                    drain()
                     stop, summary = self._run_eval(test_batches, epoch)
                     if stop:
                         break
-            if pending:
-                _ = [float(x) for x in pending]
-                pending = []
+            drain()
             if epoch_timer.times:
                 rank0_print(
                     f"Epoch {epoch} average: {epoch_timer.mean_ms():.2f} "
