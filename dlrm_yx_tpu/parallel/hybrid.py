@@ -49,10 +49,26 @@ from dlrm_yx_tpu.ops.losses import loss_fn, predictions_from_logits
 from dlrm_yx_tpu.ops.mlp import apply_mlp
 from dlrm_yx_tpu.utils.profiling import phase_scope
 from dlrm_yx_tpu.parallel.mesh import mesh_jit
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class _StreamGroupShim:
+    """Minimal TableGroup stand-in for sparse_update_stream on the hybrid
+    big store (it reads only dim / pack / total_rows)."""
+
+    dim: int
+    pack: int
+    total_rows: int
+    size_class: int = 1
+
+
 from dlrm_yx_tpu.optim.optimizer import (
+    DENSE_ACCUM_FACTOR,
     OptConfig,
     dense_update,
     sparse_update,
+    sparse_update_stream,
     update_dense_towers,
 )
 from dlrm_yx_tpu.parallel.plan import ShardingPlan, build_sharded_emb
@@ -940,7 +956,41 @@ def make_hybrid_train_step(
 
         # big tables through the configured impl (the pallas row-RMW kernel
         # when sparse_update_impl='pallas')
-        if nb > 0:
+        n_data = mesh.shape["data"]
+        use_stream_b = (
+            nb > 0
+            and config.sparse_update_impl == "stream"
+            and opt.name in ("sgd", "rwsadagrad")
+            and store_b.dtype == jnp.float32
+            and plan.dim * plan.pack == 128
+            and not has_qr
+            and not config.exact_row_momentum
+            and not config.stochastic_rounding
+            # dense regime: K_global vs per-shard physical rows (same
+            # crossover as the single-device router)
+            and nb * bd * l * n_data * DENSE_ACCUM_FACTOR
+            >= store_b.shape[0]
+        )
+        if use_stream_b:
+            # factored exchange for the sorted-run streaming kernel: gather
+            # SCALARS (row ids, weights) + the POOLED cotangent over "data"
+            # instead of per-occurrence [K,128] gradient rows — at L=100
+            # that is ~L x less exchange volume (14 MB vs 840 MB per step
+            # at bench shapes); values expand post-sort on each model shard
+            # (optim/optimizer.sparse_update_stream)
+            gidx_g = jax.lax.all_gather(gidx_b, "data", axis=1, tiled=True)
+            w_gth = jax.lax.all_gather(
+                w_eff[:nb].astype(jnp.float32), "data", axis=1, tiled=True
+            )
+            gp_gth = jax.lax.all_gather(
+                g_pooled[:nb].astype(jnp.float32), "data", axis=1, tiled=True
+            )
+            shim = _StreamGroupShim(plan.dim, plan.pack, plan.r_big_pad)
+            store_b2, acc_b2 = sparse_update_stream(
+                opt, store_b, acc_b, shim, gidx_g, w_gth, gp_gth, lr,
+                interpret=interp, row_dim=row_dim_b,
+            )
+        elif nb > 0:
             idx_bf, g_bf = gathered(0, nb, gidx_b)
             # write-only fast path: the local lookup already gathered the
             # big store's raw (physical) rows; all_gather them alongside

@@ -164,3 +164,44 @@ def test_train_step_stream_matches_xla_sgd():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(outs["stream"][1], outs["xla"][1],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_stream_matches_xla_sgd(monkeypatch):
+    """--sparse-update-impl=stream on the hybrid mesh: the factored
+    exchange (scalars + pooled cotangent over 'data' instead of
+    per-occurrence [K,128] rows) must match the XLA path exactly for SGD
+    on a dense-regime, dup-heavy config."""
+    import dlrm_yx_tpu.optim.optimizer as om
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    monkeypatch.setattr(om, "PALLAS_MIN_STORE_BYTES", 0)
+    base = DLRMConfig(
+        emb_rows=(400, 500, 450, 520), ln_bot=(4, 8, 64),
+        ln_top=(4 * 5 // 2 + 64, 8, 1), emb_split_threshold=0,
+    )
+    r = np.random.RandomState(17)
+    t, b, l = 4, 16, 10  # K * 8 >> rows -> dense regime, heavy dups
+    batches = [
+        Batch(
+            r.rand(b, 4).astype(np.float32),
+            r.randint(0, 400, (t, b, l)).astype(np.int32),
+            (r.rand(t, b, l) > 0.1).astype(np.float32),
+            (r.rand(b, 1) > 0.5).astype(np.float32),
+        )
+        for _ in range(3)
+    ]
+    outs = {}
+    for impl in ("xla", "stream"):
+        cfg = dataclasses.replace(base, sparse_update_impl=impl)
+        runner = HybridRunner(cfg, OptConfig("sgd", 0.1), data=2, model=2,
+                              seed=13)
+        p, s = runner.params, runner.opt_state
+        losses = []
+        for i, bt in enumerate(batches):
+            p, s, loss = runner.train_step(p, s, runner.prepare_batch(bt), i)
+            losses.append(float(loss))
+        outs[impl] = (losses, np.asarray(p["emb"]))
+    np.testing.assert_allclose(outs["stream"][0], outs["xla"][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["stream"][1], outs["xla"][1],
+                               rtol=1e-4, atol=1e-5)
