@@ -324,6 +324,31 @@ def sparse_update(
             acc = acc + dense_g * dense_g
             upd = store.astype(jnp.float32) - lr * dense_g / (jnp.sqrt(acc) + opt.eps)
             return upd.astype(store.dtype), acc
+        if (
+            impl in ("pallas", "stream")
+            and row_dim is None
+            and store.dtype == jnp.float32
+            and acc.ndim == 1
+            # the kernel's layouts: natural wide rows, or the standard
+            # packed [R/pack, 128] form (ops/embedding.dim_pack)
+            and (
+                (pack == 1 and d == width and width % 128 == 0)
+                or (pack > 1 and width == 128 and pack == dim_pack(d))
+            )
+        ):
+            # fused finish: XLA runs the momentum/denominator/apply chain
+            # below as ~5 separate store-sized passes (the per-row momentum
+            # reduction's 1-D layout is a fusion barrier); the pallas pass
+            # does it in 3 (ops/pallas_dense_finish.py) — same exactly-
+            # coalescing semantics (dense_g IS the coalesced gradient)
+            from dlrm_yx_tpu.ops.pallas_dense_finish import (
+                rwsadagrad_dense_finish,
+            )
+
+            return rwsadagrad_dense_finish(
+                store, acc, dense_g, lr, dim=d, eps=opt.eps,
+                interpret=interpret,
+            )
         # rwsadagrad momentum is per LOGICAL row: reduce each lane block
         g3 = dense_g.reshape(store.shape[0], pack, d)
         if row_dim is None:
