@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "plus the sorted-run streaming kernel in the "
                         "dense/high-L regime (ops/pallas_stream_update.py: "
                         "in-place, wins on duplicate-heavy index streams)")
+    p.add_argument("--interaction-impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="pallas = fused dot-interaction kernel "
+                        "(ops/pallas_interaction.py): bmm + tril extract "
+                        "+ dense concat in one streamed pass, no "
+                        "transposed operand copies (D%%128==0 only)")
     p.add_argument("--exact-row-momentum", action="store_true", default=False,
                    help="pre-coalesce duplicate rows before the pallas "
                         "kernel so adagrad-family momentum matches the "
@@ -231,6 +237,7 @@ def config_from_args(args) -> DLRMConfig:
             stochastic_rounding=args.stochastic_rounding,
             lookup_impl=args.lookup_impl,
             sparse_update_impl=args.sparse_update_impl,
+            interaction_impl=args.interaction_impl,
             exact_row_momentum=args.exact_row_momentum,
             emb_split_threshold=args.emb_split_threshold,
         )
@@ -273,6 +280,7 @@ def config_from_args(args) -> DLRMConfig:
         stochastic_rounding=args.stochastic_rounding,
         lookup_impl=args.lookup_impl,
         sparse_update_impl=args.sparse_update_impl,
+        interaction_impl=args.interaction_impl,
         exact_row_momentum=args.exact_row_momentum,
         emb_split_threshold=args.emb_split_threshold,
     )

@@ -82,6 +82,10 @@ class DLRMConfig:
     # per-occurrence on duplicate rows, matching fbgemm's approx-rowwise
     # behavior — identical to 'xla' when rows are unique within a step)
     sparse_update_impl: str = "xla"
+    # dot-interaction path: 'pallas' fuses bmm + tril-extract + dense
+    # concat into one streamed kernel (ops/pallas_interaction.py) for
+    # D % 128 == 0 shapes; 'xla' = einsum + static gather
+    interaction_impl: str = "xla"
     # opt-in: pre-coalesce duplicate rows (sort + segment-sum) before the
     # pallas kernel so adagrad-family momentum matches the reference's
     # grad.coalesce() semantics bit-for-bit even on dup-heavy steps

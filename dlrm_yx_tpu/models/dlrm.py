@@ -302,7 +302,8 @@ def forward_from_pooled(
     )
     with phase_scope("interaction"):
         z = interact_features(
-            x, ly, config.interaction, config.interact_itself, cdt
+            x, ly, config.interaction, config.interact_itself, cdt,
+            impl=config.interaction_impl,
         )
     # the reference puts sigmoid at the last top layer (sigmoid_top); we
     # return logits and fold the sigmoid into loss/prediction for stability

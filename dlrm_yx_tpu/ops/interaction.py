@@ -33,11 +33,26 @@ def interact_features(
     op: str = "dot",
     interact_itself: bool = False,
     compute_dtype=jnp.float32,
+    impl: str = "xla",
 ) -> jax.Array:
     """x: [B, D] dense feature (bottom MLP output);
     ly: [B, S, D] pooled embedding slots.
-    Returns [B, ln_top[0]] interaction output."""
+    Returns [B, ln_top[0]] interaction output.
+
+    impl="pallas" routes eligible dot interactions (D a multiple of 128,
+    batch divisible by a power-of-two block) through the fused kernel in
+    ops/pallas_interaction.py — one streamed pass, no transposed bmm
+    operand copy, no z round-trip; ineligible shapes fall back here."""
     b, d = x.shape
+    if impl == "pallas" and op == "dot" and d % 128 == 0:
+        block_b = 128 if b % 128 == 0 else (64 if b % 64 == 0 else 0)
+        if block_b:
+            from dlrm_yx_tpu.ops.pallas_interaction import fused_interaction
+
+            return fused_interaction(
+                x, ly, interact_itself, compute_dtype, block_b,
+                jax.default_backend() != "tpu",
+            )
     t = jnp.concatenate([x[:, None, :], ly], axis=1)  # [B, F, D]
     if op == "dot":
         tc = t.astype(compute_dtype)

@@ -517,7 +517,8 @@ def make_hybrid_accum_train_step(
                         batch.dense, dp["bot"], config.sigmoid_bot, cdt
                     )
                 z = interact_features(
-                    x, ly, config.interaction, config.interact_itself, cdt
+                    x, ly, config.interaction, config.interact_itself, cdt,
+                    impl=config.interaction_impl,
                 )
                 logits = apply_mlp(
                     z, dp["top"], config.sigmoid_top, cdt,
@@ -621,8 +622,8 @@ def make_hybrid_accum_train_step(
             )
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, fi, fg, lr, plan.r_small_pad,
-                impl="xla", interpret=interp, row_dim=row_dim_s,
-                size_class=0, dim=plan.dim,
+                impl=config.sparse_update_impl, interpret=interp,
+                row_dim=row_dim_s, size_class=0, dim=plan.dim,
             )
         else:
             store_s2, acc_s2 = store_s, acc_s
@@ -827,7 +828,8 @@ def make_hybrid_train_step(
                     batch.dense, dense_params["bot"], config.sigmoid_bot, cdt
                 )
             z = interact_features(
-                x, ly, config.interaction, config.interact_itself, cdt
+                x, ly, config.interaction, config.interact_itself, cdt,
+                impl=config.interaction_impl,
             )
             logits = apply_mlp(
                 z, dense_params["top"], config.sigmoid_top, cdt,
@@ -1030,8 +1032,8 @@ def make_hybrid_train_step(
             idx_sf, g_sf = gathered(nb, t, gidx_s)
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, idx_sf, g_sf, lr, plan.r_small_pad,
-                impl="xla", interpret=interp, row_dim=row_dim_s,
-                size_class=0, dim=plan.dim,
+                impl=config.sparse_update_impl, interpret=interp,
+                row_dim=row_dim_s, size_class=0, dim=plan.dim,
             )
         else:
             store_s2, acc_s2 = store_s, acc_s
@@ -1320,7 +1322,7 @@ def make_hybrid_eval_step(config: DLRMConfig, plan: ShardingPlan, mesh: Mesh):
             x = apply_mlp(
                 batch.dense, params["bot"], config.sigmoid_bot, cdt
             )
-        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt, impl=config.interaction_impl)
         logits = apply_mlp(
             z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
         )

@@ -379,7 +379,8 @@ def make_row_sharded_train_step(
             cdt = jnp.dtype(config.compute_dtype)
             x = apply_mlp(batch.dense, dense_params["bot"], config.sigmoid_bot, cdt)
             z = interact_features(
-                x, ly, config.interaction, config.interact_itself, cdt
+                x, ly, config.interaction, config.interact_itself, cdt,
+                impl=config.interaction_impl,
             )
             logits = apply_mlp(
                 z, dense_params["top"], config.sigmoid_top, cdt,
@@ -572,7 +573,8 @@ def make_row_sharded_accum_train_step(
                 cdt = jnp.dtype(config.compute_dtype)
                 x = apply_mlp(batch.dense, dp["bot"], config.sigmoid_bot, cdt)
                 z = interact_features(
-                    x, ly, config.interaction, config.interact_itself, cdt
+                    x, ly, config.interaction, config.interact_itself, cdt,
+                    impl=config.interaction_impl,
                 )
                 logits = apply_mlp(
                     z, dp["top"], config.sigmoid_top, cdt,
@@ -699,7 +701,7 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
             ly = ly.reshape(b_loc, t_loc, k, d).reshape(b_loc, t_loc * k, d)
         cdt = jnp.dtype(config.compute_dtype)
         x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot, cdt)
-        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt)
+        z = interact_features(x, ly, config.interaction, config.interact_itself, cdt, impl=config.interaction_impl)
         logits = apply_mlp(
             z, params["top"], config.sigmoid_top, cdt, skip_last_activation=True
         )
