@@ -124,5 +124,19 @@ def main():
     )
 
 
+def main_with_retry(fn=None, attempts=3, backoff_s=20):
+    # the tunneled relay occasionally drops a dispatch (ABORTED /
+    # FailedPrecondition); a retry reconnects and the compile cache makes
+    # the rerun cheap
+    fn = fn or main
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            time.sleep(backoff_s)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()

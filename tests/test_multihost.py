@@ -94,6 +94,9 @@ def test_two_process_distributed_smoke(tmp_path):
             DLRM_REPO_ROOT=root,
         )
         env.pop("PYTHONPATH", None)
+        # a host-level --xla_force_host_platform_device_count leaking in
+        # would give each worker N local devices instead of 1
+        env.pop("XLA_FLAGS", None)
         procs.append(
             subprocess.Popen(
                 [sys.executable, str(script)],
