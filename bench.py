@@ -124,16 +124,29 @@ def main():
     )
 
 
+_TRANSIENT_MARKERS = (
+    "ABORTED",
+    "FAILED_PRECONDITION",
+    "FailedPrecondition",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "Connection reset",
+    "Socket closed",
+)
+
+
 def main_with_retry(fn=None, attempts=3, backoff_s=20):
     # the tunneled relay occasionally drops a dispatch (ABORTED /
     # FailedPrecondition); a retry reconnects and the compile cache makes
-    # the rerun cheap
+    # the rerun cheap. Deterministic failures (shape/config errors) are
+    # NOT retried — they re-raise immediately.
     fn = fn or main
     for attempt in range(attempts):
         try:
             return fn()
-        except Exception:
-            if attempt == attempts - 1:
+        except Exception as e:
+            transient = any(m in repr(e) for m in _TRANSIENT_MARKERS)
+            if attempt == attempts - 1 or not transient:
                 raise
             time.sleep(backoff_s)
 

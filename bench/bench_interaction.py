@@ -3,10 +3,8 @@ shapes (B=2048, S=26, D=128), forward-only and forward+backward.
 
 Run on the real chip: python bench/bench_interaction.py
 """
-import glob
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,26 +17,20 @@ B, S, D = 2048, 26, 128
 def _time(fn, *args):
     import jax
 
+    from xputil import trace_steps
+
     fn = jax.jit(fn)
     out = fn(*args)
     jax.block_until_ready(out)
-    td = tempfile.mkdtemp(prefix="ix_")
-    jax.profiler.start_trace(td)
-    for _ in range(STEPS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
-    pd = jax.profiler.ProfileData.from_file(
-        glob.glob(td + "/**/*.xplane.pb", recursive=True)[-1]
-    )
-    ns = 0
-    for plane in pd.planes:
-        if "TPU" not in plane.name:
-            continue
-        for line in plane.lines:
-            if line.name == "XLA Ops":
-                ns += sum(ev.duration_ns for ev in line.events)
-    return ns / STEPS / 1e3  # us/step
+
+    def run(steps):
+        o = None
+        for _ in range(steps):
+            o = fn(*args)
+        jax.block_until_ready(o)
+
+    us, _ = trace_steps(run, STEPS)
+    return us  # us/step
 
 
 def main():

@@ -1,11 +1,8 @@
 """Per-op XPlane breakdown of the headline train step (top-N ops by total
 device time). Diagnostic companion to bench_roofline.py."""
-import collections
 import dataclasses
-import glob
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +24,13 @@ def main():
 
     cfg = DLRMConfig.terabyte_mlperf(max_ind_range=1_000_000)
     cfg = dataclasses.replace(
-        cfg, compute_dtype="bfloat16", sparse_update_impl="pallas"
+        cfg, compute_dtype="bfloat16", sparse_update_impl="pallas",
+        interaction_impl=(
+            "pallas"
+            if ("--interaction-impl=pallas" in sys.argv
+                or "pallas" in sys.argv)
+            else "xla"
+        ),
     )
     params = init_dlrm_on_device(cfg, seed=123)
     groups = model_groups(cfg)
@@ -49,25 +52,18 @@ def main():
     ]
     params, state, loss = step(params, state, bs[0], 0)
     _ = float(loss)
-    td = tempfile.mkdtemp(prefix="hl_")
-    jax.profiler.start_trace(td)
-    for i in range(STEPS):
-        params, state, loss = step(params, state, bs[i % 4], i + 1)
-    _ = float(loss)
-    jax.profiler.stop_trace()
-    pd = jax.profiler.ProfileData.from_file(
-        glob.glob(td + "/**/*.xplane.pb", recursive=True)[-1]
-    )
-    tot = collections.Counter()
-    for plane in pd.planes:
-        if "TPU" not in plane.name:
-            continue
-        for line in plane.lines:
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                tot[ev.name] += ev.duration_ns
-    total = sum(tot.values()) / STEPS / 1e6
+
+    from xputil import trace_steps
+
+    def run(steps):
+        nonlocal params, state
+        loss = None
+        for i in range(steps):
+            params, state, loss = step(params, state, bs[i % 4], i + 1)
+        _ = float(loss)
+
+    us, tot = trace_steps(run, STEPS)
+    total = us / 1e3
     print(f"step total: {total:.3f} ms; top ops (us/step):")
     for name, ns in tot.most_common(40):
         print(f"  {ns/STEPS/1e3:9.1f}  {name}")

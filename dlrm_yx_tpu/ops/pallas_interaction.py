@@ -54,6 +54,13 @@ def _fwd_kernel(t_ref, x_ref, sel_ref, li_ref, out_ref, *, d: int,
     z = jax.lax.dot_general(
         t, t, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        # f32 operands must not decompose to bf16 MXU passes (~1e-3 rel
+        # err) — same contract as the xla impl (ops/interaction.py)
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if t.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )  # [bb, f_pad, f_pad] f32
     zp = jax.lax.dot_general(
         z.reshape(bb * f_pad, f_pad), sel_ref[:],
@@ -176,11 +183,13 @@ def _vjp_bwd(interact_itself, compute_dtype, block_b, interpret, res, g):
     li, lj = np.tril_indices(f, k=offset)
     gx_direct = g[:, :d]
     gz = g[:, d:]  # [B, P]
-    # scatter the pair grads into a symmetric [F, F] dz (diagonal pairs,
-    # present only with interact_itself, must not be doubled)
+    # scatter the pair grads into a symmetric [F, F] dz. Diagonal pairs
+    # (present only with interact_itself) DO double: z_ii = t_i.t_i so
+    # d z_ii / d t_i = 2 t_i, which the dt = dz @ t einsum below realizes
+    # only if dz[i,i] carries 2*g — matches jax.grad of the xla impl.
     dz = jnp.zeros((b, f, f), gz.dtype)
     dz = dz.at[:, li, lj].add(gz)
-    dz = dz.at[:, lj, li].add(jnp.where(jnp.asarray(li == lj), 0.0, gz))
+    dz = dz.at[:, lj, li].add(gz)
     t = jnp.concatenate([x[:, None, :], ly], axis=1).astype(compute_dtype)
     dz = dz.astype(jnp.float32)
     # dt[b,f,:] = sum_g dz[b,f,g] * t[b,g,:]

@@ -69,6 +69,7 @@ from dlrm_yx_tpu.optim.optimizer import (
     dense_update,
     sparse_update,
     sparse_update_stream,
+    stream_eligible,
     update_dense_towers,
 )
 from dlrm_yx_tpu.parallel.plan import ShardingPlan, build_sharded_emb
@@ -961,10 +962,22 @@ def make_hybrid_train_step(
         n_data = mesh.shape["data"]
         use_stream_b = (
             nb > 0
-            and config.sparse_update_impl == "stream"
-            and opt.name in ("sgd", "rwsadagrad")
-            and store_b.dtype == jnp.float32
-            and plan.dim * plan.pack == 128
+            and (
+                config.sparse_update_impl == "stream"
+                # pallas+SGD auto-routes its dense regime through the
+                # streaming kernel — same rule as the single-device
+                # router (train/train_step.py); adagrad-family momentum
+                # is per-occurrence on the stream path, so it stays
+                # opt-in there.
+                or (
+                    config.sparse_update_impl == "pallas"
+                    and opt.name == "sgd"
+                )
+            )
+            and stream_eligible(
+                opt, store_b,
+                _StreamGroupShim(plan.dim, plan.pack, plan.r_big_pad),
+            )
             and not has_qr
             and not config.exact_row_momentum
             and not config.stochastic_rounding

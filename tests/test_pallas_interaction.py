@@ -33,21 +33,24 @@ def test_fused_matches_xla(b, s, d, itself, cdt):
     )
 
 
-def test_fused_grads_match_xla():
+@pytest.mark.parametrize("itself", [False, True])
+def test_fused_grads_match_xla(itself):
     b, s, d = 128, 10, 128
+    f = s + 1
+    n_pairs = f * (f + 1) // 2 if itself else f * (f - 1) // 2
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, d).astype(np.float32))
     ly = jnp.asarray(rng.randn(b, s, d).astype(np.float32))
-    co = jnp.asarray(rng.randn(b, d + s * (s + 1) // 2).astype(np.float32))
+    co = jnp.asarray(rng.randn(b, d + n_pairs).astype(np.float32))
 
     def loss_ref(x, ly):
         return jnp.vdot(
-            interact_features(x, ly, "dot", False, jnp.float32), co
+            interact_features(x, ly, "dot", itself, jnp.float32), co
         )
 
     def loss_ker(x, ly):
         return jnp.vdot(
-            fused_interaction(x, ly, False, jnp.float32, 64, True), co
+            fused_interaction(x, ly, itself, jnp.float32, 64, True), co
         )
 
     gx0, gly0 = jax.grad(loss_ref, argnums=(0, 1))(x, ly)

@@ -191,7 +191,9 @@ def test_hybrid_stream_matches_xla_sgd(monkeypatch):
         for _ in range(3)
     ]
     outs = {}
-    for impl in ("xla", "stream"):
+    # 'pallas' + SGD auto-routes the dense regime through the stream
+    # kernel on hybrid too (same rule as the single-device router)
+    for impl in ("xla", "stream", "pallas"):
         cfg = dataclasses.replace(base, sparse_update_impl=impl)
         runner = HybridRunner(cfg, OptConfig("sgd", 0.1), data=2, model=2,
                               seed=13)
@@ -201,7 +203,8 @@ def test_hybrid_stream_matches_xla_sgd(monkeypatch):
             p, s, loss = runner.train_step(p, s, runner.prepare_batch(bt), i)
             losses.append(float(loss))
         outs[impl] = (losses, np.asarray(p["emb"]))
-    np.testing.assert_allclose(outs["stream"][0], outs["xla"][0],
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(outs["stream"][1], outs["xla"][1],
-                               rtol=1e-4, atol=1e-5)
+    for impl in ("stream", "pallas"):
+        np.testing.assert_allclose(outs[impl][0], outs["xla"][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(outs[impl][1], outs["xla"][1],
+                                   rtol=1e-4, atol=1e-5)
