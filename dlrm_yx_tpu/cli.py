@@ -16,6 +16,7 @@ Usage examples (mirror README.md of the reference):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -242,6 +243,23 @@ def config_from_args(args) -> DLRMConfig:
             emb_split_threshold=args.emb_split_threshold,
         )
     rows = parse_int_list(args.arch_embedding_size)
+    if args.data_generation == "dataset":
+        # dataset mode derives table sizes from the preprocessed feature
+        # counts, clamped to --max-ind-range — NOT from
+        # --arch-embedding-size (dlrm_s_pytorch.py:1388-1400). Preprocesses
+        # raw data on first touch so the counts exist; falls back to the
+        # arch flag only when no dataset files are reachable.
+        if not args.mlperf_bin_loader:
+            # (bin runs point --raw-data-file at train.bin; their counts
+            # npz, when present, sits at the same day-file prefix)
+            ensure_preprocessed(args)
+        prefix = args.processed_data_file or args.raw_data_file
+        cf = f"{prefix}_fea_count.npz" if prefix else ""
+        if cf and os.path.exists(cf):
+            with np.load(cf) as d:
+                rows = [int(n) for n in d["counts"]]
+            if args.max_ind_range > 0:
+                rows = [min(n, args.max_ind_range) for n in rows]
     emb_dims = (args.arch_sparse_feature_size,) * len(rows)
     if args.md_flag:
         from dlrm_yx_tpu.ops.md_embedding import md_solver
@@ -283,6 +301,33 @@ def config_from_args(args) -> DLRMConfig:
         interaction_impl=args.interaction_impl,
         exact_row_momentum=args.exact_row_momentum,
         emb_split_threshold=args.emb_split_threshold,
+    )
+
+
+def ensure_preprocessed(args) -> None:
+    """Preprocess raw Criteo TSV on first touch, like the reference
+    (CriteoDataset.__init__ -> getCriteoAdData, SURVEY.md §3.6).
+    Idempotent; called before the model arch is built so the feature
+    counts exist for config_from_args' dataset-mode row derivation."""
+    prefix = args.processed_data_file or args.raw_data_file
+    if not prefix or os.path.exists(f"{prefix}_day_count.npz"):
+        return
+    if not args.raw_data_file or not os.path.exists(args.raw_data_file):
+        return
+    from dlrm_yx_tpu.data.criteo import (
+        preprocess_criteo,
+        split_kaggle_train_txt,
+    )
+
+    days = 7 if args.data_set == "kaggle" else 24
+    rank0_print(f"preprocessing {args.raw_data_file} -> {prefix} ...")
+    day_files = split_kaggle_train_txt(args.raw_data_file, days)
+    preprocess_criteo(
+        day_files, prefix,
+        max_ind_range=args.max_ind_range,
+        sub_sample_rate=args.data_sub_sample_rate,
+        randomize=args.data_randomize,
+        seed=args.numpy_rand_seed,
     )
 
 
@@ -371,25 +416,7 @@ def make_data(args, cfg):
 
         days = 7 if args.data_set == "kaggle" else 24
         prefix = args.processed_data_file or args.raw_data_file
-        import os as _os
-
-        if not _os.path.exists(f"{prefix}_day_count.npz") and args.raw_data_file:
-            # preprocess on first touch, like the reference
-            # (CriteoDataset.__init__ -> getCriteoAdData, SURVEY.md §3.6)
-            from dlrm_yx_tpu.data.criteo import (
-                preprocess_criteo,
-                split_kaggle_train_txt,
-            )
-
-            rank0_print(f"preprocessing {args.raw_data_file} -> {prefix} ...")
-            day_files = split_kaggle_train_txt(args.raw_data_file, days)
-            preprocess_criteo(
-                day_files, prefix,
-                max_ind_range=args.max_ind_range,
-                sub_sample_rate=args.data_sub_sample_rate,
-                randomize=args.data_randomize,
-                seed=args.numpy_rand_seed,
-            )
+        ensure_preprocessed(args)
         train = CriteoNpzLoader(
             prefix, days, args.mini_batch_size, split="train",
             max_ind_range=args.max_ind_range, memory_map=args.memory_map,

@@ -68,14 +68,34 @@ def _emb_table_from_sd(sd: Dict, t: int) -> np.ndarray:
     )
 
 
-def _mlp_from_sd(sd: Dict, prefix: str) -> List[Tuple[np.ndarray, np.ndarray]]:
-    idxs = sorted(
+def _layer_indices(sd: Dict, prefix: str) -> List[int]:
+    """Sorted nn.Sequential indices of the Linear layers under a prefix
+    (Linears sit at even slots, interleaved with ReLU/Sigmoid)."""
+    return sorted(
         int(k.split(".")[1])
         for k in sd
         if k.startswith(prefix + ".") and k.endswith(".weight")
     )
+
+
+def _md_wrapped_ids(config: DLRMConfig) -> set:
+    """Tables the reference wraps in PrEmbeddingBag (key emb_l.{t}.embs.*):
+    md_flag and rows > md_threshold — INCLUDING tables whose solved dim
+    equals the base dim (proj = Identity) — unless QR wrapped them first
+    (QR takes precedence, dlrm_s_pytorch.py:282-299)."""
+    if not config.md_flag:
+        return set()
+    qr = set(config.qr_table_ids)
+    return {
+        t
+        for t, n in enumerate(config.emb_rows)
+        if n > config.md_threshold and t not in qr
+    }
+
+
+def _mlp_from_sd(sd: Dict, prefix: str) -> List[Tuple[np.ndarray, np.ndarray]]:
     out = []
-    for i in idxs:
+    for i in _layer_indices(sd, prefix):
         w = _np(sd[f"{prefix}.{i}.weight"]).astype(np.float32)
         b = _np(sd[f"{prefix}.{i}.bias"]).astype(np.float32)
         out.append((w.T.copy(), b))  # [out,in] -> [in,out] (MXU layout)
@@ -153,7 +173,7 @@ def state_dict_from_params(params: Dict, config: DLRMConfig) -> Dict[str, np.nda
     groups = model_groups(config)
     specs = qr_specs(config)
     sd: Dict[str, np.ndarray] = {}
-    md_ids = set(config.md_table_ids)
+    md_ids = _md_wrapped_ids(config)
     for g, store in zip(groups, params["emb"]):
         rows = np.asarray(unpack_store(store, g), dtype=np.float32)
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
@@ -195,12 +215,7 @@ def _torch_param_order(sd: Dict, config: DLRMConfig) -> List[str]:
     if config.weighted_pooling == "learned":
         order.extend(k for k in (f"v_W_l.{t}" for t in range(len(config.emb_rows))) if k in sd)
     for prefix in ("bot_l", "top_l"):
-        idxs = sorted(
-            int(k.split(".")[1])
-            for k in sd
-            if k.startswith(prefix + ".") and k.endswith(".weight")
-        )
-        for i in idxs:
+        for i in _layer_indices(sd, prefix):
             order.append(f"{prefix}.{i}.weight")
             order.append(f"{prefix}.{i}.bias")
     return order
@@ -237,6 +252,24 @@ def opt_state_from_torch(
             f"optimizer state has {len(ids)} params but the arch expects "
             f"{len(order)} — checkpoint/arch mismatch"
         )
+    # Guard the silent-zero trap: a rwsadagrad-trained checkpoint stores
+    # row 'momentum' (no 'sum') for sparse tables — importing it as adagrad
+    # would quietly restart every embedding denominator at zero.
+    if opt.name == "adagrad":
+        mom_only = [
+            k
+            for k in by_key
+            if k.startswith("emb_l.")
+            and "momentum" in by_key[k]
+            and "sum" not in by_key[k]
+        ]
+        if mom_only:
+            raise ValueError(
+                f"{len(mom_only)} embedding tables carry row-wise "
+                "'momentum' (a rwsadagrad checkpoint) but --optimizer "
+                "adagrad was requested; import with --optimizer rwsadagrad "
+                "(the row momenta cannot reconstruct per-element sums)"
+            )
 
     def acc_of(key: str, want_row_wise: bool) -> Optional[np.ndarray]:
         st = by_key.get(key)
@@ -321,6 +354,86 @@ def opt_state_from_torch(
     return state
 
 
+def torch_opt_state_from_ours(
+    opt_state: Dict,
+    sd: Dict,
+    config: DLRMConfig,
+    opt: OptConfig,
+    step: int = 0,
+) -> Dict:
+    """This framework's accumulator pytree -> a torch ``Optimizer.state_dict``
+    the reference's single-process run loads (one param group, like its
+    single-device ``dlrm.parameters()`` construction,
+    dlrm_s_pytorch.py:1645-1648). sgd/adagrad groups come from real torch
+    optimizers over shape-matched dummies (version-proof hyperparameter
+    keys); rwsadagrad groups mirror optim/rwsadagrad.py's defaults."""
+    import torch
+
+    order = _torch_param_order(sd, config)
+    groups = model_groups(config)
+    if opt.name in ("sgd", "adagrad"):
+        dummies = [
+            torch.zeros(tuple(np.asarray(sd[k]).shape), requires_grad=True)
+            for k in order
+        ]
+        cls = torch.optim.SGD if opt.name == "sgd" else torch.optim.Adagrad
+        osd = cls(dummies, lr=opt.lr).state_dict()
+    else:  # rwsadagrad: group keys per the reference's RWSAdagrad.__init__
+        osd = {
+            "state": {},
+            "param_groups": [
+                {
+                    "lr": opt.lr,
+                    "lr_decay": 0.0,
+                    "weight_decay": 0.0,
+                    "eps": opt.eps,
+                    "params": list(range(len(order))),
+                }
+            ],
+        }
+    if opt.name == "sgd":
+        return osd  # plain SGD holds no per-param state
+
+    row_wise = opt.name == "rwsadagrad"
+    md_ids = _md_wrapped_ids(config)
+    emb_key = {}
+    for g, acc in zip(groups, opt_state["emb"]):
+        acc_np = np.asarray(acc, dtype=np.float32)
+        if not row_wise:
+            acc_np = unpack_store(acc_np, g)
+        for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+            k = (
+                f"emb_l.{tid}.embs.weight" if tid in md_ids else f"emb_l.{tid}.weight"
+            )
+            emb_key[k] = acc_np[off : off + n]
+    for s, (aq, ar) in zip(qr_specs(config), opt_state.get("qr", [])):
+        emb_key[f"emb_l.{s.table_id}.weight_q"] = np.asarray(aq, np.float32)
+        emb_key[f"emb_l.{s.table_id}.weight_r"] = np.asarray(ar, np.float32)
+    dense_key = {}
+    for t, a in zip(config.md_table_ids, opt_state.get("md_proj", [])):
+        dense_key[f"emb_l.{t}.proj.weight"] = np.asarray(a, np.float32).T.copy()
+    if config.weighted_pooling == "learned" and opt_state.get("vw") is not None:
+        for g, a in zip(groups, opt_state["vw"]):
+            flat = np.asarray(a, np.float32)
+            for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
+                dense_key[f"v_W_l.{tid}"] = flat[off : off + n]
+    for name, prefix in (("bot", "bot_l"), ("top", "top_l")):
+        for j, (aw, ab) in enumerate(opt_state["dense"][name]):
+            dense_key[f"{prefix}.{2 * j}.weight"] = np.asarray(aw, np.float32).T.copy()
+            dense_key[f"{prefix}.{2 * j}.bias"] = np.asarray(ab, np.float32)
+    state = {}
+    for idx, key in enumerate(order):
+        if key in emb_key:
+            field = "momentum" if row_wise else "sum"
+            state[idx] = {"step": int(step), field: torch.tensor(emb_key[key])}
+        elif key in dense_key:
+            state[idx] = {"step": int(step), "sum": torch.tensor(dense_key[key])}
+        elif idx in osd["state"]:  # keep the dummy-optimizer zeros
+            state[idx] = osd["state"][idx]
+    osd["state"] = state
+    return osd
+
+
 # --------------------------------------------------------------- top level
 
 
@@ -354,6 +467,7 @@ def import_torch_checkpoint(
         iteration=int(ld.get("iter", 0)),
         train_loss=float(ld.get("train_loss", 0.0)),
         metrics=metrics,
+        optimizer=opt.name,
     )
     return {
         "epoch": int(ld.get("epoch", 0)),
@@ -367,19 +481,34 @@ def export_torch_checkpoint(
     config: DLRMConfig,
     params: Dict,
     *,
+    opt_state: Optional[Dict] = None,
+    opt: Optional[OptConfig] = None,
     meta: Optional[Dict] = None,
     nbatches: int = 0,
     nbatches_test: int = 0,
 ) -> None:
-    """Params -> a ``.pt`` the reference's ``--load-model`` accepts
-    (all keys its loader reads unconditionally, dlrm_s_pytorch.py:1717-1728;
-    optimizer state is NOT exported — continued training there re-warms)."""
+    """Params (+ optimizer state) -> a ``.pt`` the reference's
+    ``--load-model`` accepts. Its loader reads ``opt_state_dict``
+    unconditionally unless --inference-only (dlrm_s_pytorch.py:1729), so
+    one is always written — carried accumulators when ``opt_state``/``opt``
+    are given, a fresh zero-state otherwise. Targets the reference's
+    single-process optimizer construction (one param group); its multi-rank
+    mode builds 3 groups and needs a re-partitioned state_dict."""
     import torch
 
     meta = meta or {}
-    sd = {
-        k: torch.tensor(v) for k, v in state_dict_from_params(params, config).items()
-    }
+    np_sd = state_dict_from_params(params, config)
+    sd = {k: torch.tensor(v) for k, v in np_sd.items()}
+    opt = opt or OptConfig(name="sgd")
+    osd = torch_opt_state_from_ours(
+        opt_state if opt_state is not None else init_opt_state(
+            opt, params, model_groups(config)
+        ),
+        np_sd,
+        config,
+        opt,
+        step=int(meta.get("iteration", 0)),
+    )
     torch.save(
         {
             "epoch": int(meta.get("epoch", 0)),
@@ -388,6 +517,7 @@ def export_torch_checkpoint(
             "nbatches": int(nbatches),
             "nbatches_test": int(nbatches_test),
             "state_dict": sd,
+            "opt_state_dict": osd,
             "train_loss": float(meta.get("train_loss", 0.0)),
             "total_loss": float(meta.get("total_loss", 0.0)),
             "test_acc": float(meta.get("metrics", {}).get("accuracy", 0.0)),
@@ -411,21 +541,48 @@ def main(argv=None):
     from dlrm_yx_tpu.cli import build_parser, config_from_args
 
     p = argparse.ArgumentParser(
+        prog="python -m dlrm_yx_tpu.tools.torch_ckpt",
         description="Convert checkpoints between the reference's torch .pt "
         "format and this framework's checkpoint directories. Arch flags "
-        "(--arch-*, --qr-*, --md-*, --weighted-pooling) must match the "
-        "model the checkpoint was trained with.",
+        "(--arch-*, --qr-*, --md-*, --max-ind-range, --weighted-pooling) "
+        "must match the model the checkpoint was trained with and pass "
+        "through to the trainer's parser.",
         add_help=False,
     )
-    p.add_argument("--import-pt", type=str, default="", metavar="FILE.pt")
-    p.add_argument("--export-pt", type=str, default="", metavar="FILE.pt")
-    p.add_argument("--ckpt-dir", type=str, required=True)
+    p.add_argument("--import-pt", type=str, default="", metavar="FILE.pt",
+                   help="reference .pt -> --ckpt-dir (loadable by --load-model here)")
+    p.add_argument("--export-pt", type=str, default="", metavar="FILE.pt",
+                   help="--ckpt-dir -> reference-compatible .pt")
+    p.add_argument("--ckpt-dir", type=str, default="",
+                   help="this framework's checkpoint directory (required)")
     p.add_argument("--optimizer", type=str, default="sgd",
-                   choices=["sgd", "adagrad", "rwsadagrad"])
+                   choices=["sgd", "adagrad", "rwsadagrad"],
+                   help="optimizer whose accumulators to convert")
     p.add_argument("--learning-rate", type=float, default=0.1)
-    args, rest = p.parse_known_args(argv)
+    argv_list = list(argv) if argv is not None else None
+    import sys as _sys
+
+    probe = argv_list if argv_list is not None else _sys.argv[1:]
+    if "-h" in probe or "--help" in probe:
+        print(p.format_help())
+        print("All trainer arch/model flags are also accepted "
+              "(python -m dlrm_yx_tpu.cli --help for the full list).")
+        raise SystemExit(0)
+    args, rest = p.parse_known_args(argv_list)
+    if not args.ckpt_dir:
+        raise SystemExit("--ckpt-dir is required")
     arch = build_parser().parse_args(rest + ["--data-generation", "random"])
     cfg = config_from_args(arch)
+    if arch.max_ind_range > 0:
+        # the reference clamps table rows to --max-ind-range
+        # (dlrm_s_pytorch.py:1390-1398); the published Terabyte checkpoints
+        # were trained with the clamped counts
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg,
+            emb_rows=tuple(min(n, arch.max_ind_range) for n in cfg.emb_rows),
+        )
     if bool(args.import_pt) == bool(args.export_pt):
         raise SystemExit("pass exactly one of --import-pt / --export-pt")
     if args.import_pt:
@@ -438,14 +595,19 @@ def main(argv=None):
         from dlrm_yx_tpu.models.dlrm import init_dlrm
         from dlrm_yx_tpu.train.checkpoint import load_checkpoint
 
+        opt = OptConfig(name=args.optimizer, lr=args.learning_rate)
         like_p = init_dlrm(cfg, seed=0)
-        like_s = init_opt_state(
-            OptConfig(name=args.optimizer, lr=args.learning_rate),
-            like_p,
-            model_groups(cfg),
+        like_s = init_opt_state(opt, like_p, model_groups(cfg))
+        params, opt_state, meta = load_checkpoint(args.ckpt_dir, like_p, like_s)
+        ck_opt = meta.get("optimizer")
+        if ck_opt is not None and ck_opt != opt.name:
+            raise SystemExit(
+                f"checkpoint {args.ckpt_dir!r} carries {ck_opt} state; "
+                f"pass --optimizer {ck_opt}"
+            )
+        export_torch_checkpoint(
+            args.export_pt, cfg, params, opt_state=opt_state, opt=opt, meta=meta
         )
-        params, _, meta = load_checkpoint(args.ckpt_dir, like_p, like_s)
-        export_torch_checkpoint(args.export_pt, cfg, params, meta=meta)
         print(f"exported {args.ckpt_dir} -> {args.export_pt}")
 
 

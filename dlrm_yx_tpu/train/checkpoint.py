@@ -36,6 +36,7 @@ def save_checkpoint(
     iteration: int = 0,
     train_loss: float = 0.0,
     metrics: Dict[str, float] | None = None,
+    optimizer: str | None = None,
 ) -> None:
     os.makedirs(path, exist_ok=True)
     p_leaves, _ = _flatten(params)
@@ -48,6 +49,11 @@ def save_checkpoint(
         "train_loss": float(train_loss),
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
     }
+    if optimizer is not None:
+        # lets --load-model reject resuming under a different optimizer
+        # (the accumulator pytrees are shape-compatible across optimizers
+        # often enough that the mistake would otherwise train silently)
+        meta["optimizer"] = optimizer
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -96,6 +102,7 @@ def save_checkpoint_orbax(
     iteration: int = 0,
     train_loss: float = 0.0,
     metrics: Dict[str, float] | None = None,
+    optimizer: str | None = None,
 ) -> None:
     import orbax.checkpoint as ocp
 
@@ -113,6 +120,8 @@ def save_checkpoint_orbax(
         "train_loss": float(train_loss),
         "metrics": {k: float(v) for k, v in (metrics or {}).items()},
     }
+    if optimizer is not None:
+        meta["optimizer"] = optimizer
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
 

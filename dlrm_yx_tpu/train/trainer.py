@@ -14,6 +14,8 @@ Capability parity with the reference's ``run()`` hot loop and ``inference()``
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Callable, Iterable, List, Optional
 
 import jax.numpy as jnp
@@ -128,6 +130,21 @@ class Trainer:
         self.start_epoch = 0
         self.skip_batches = 0
         if tcfg.load_path:
+            # validate the optimizer BEFORE unflattening: a cross-optimizer
+            # resume would otherwise fail as an opaque leaf-count error, or
+            # worse, succeed with misread accumulators
+            meta_path = os.path.join(tcfg.load_path, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    ck_opt = json.load(f).get("optimizer")
+                if ck_opt is not None and ck_opt != opt.name:
+                    raise ValueError(
+                        f"checkpoint {tcfg.load_path!r} carries {ck_opt} "
+                        f"optimizer state but the run is configured with "
+                        f"--optimizer {opt.name} — pass --optimizer {ck_opt} "
+                        "(resuming across optimizers would silently misread "
+                        "the accumulators)"
+                    )
             if tcfg.ckpt_backend == "orbax":
                 # restores each host's shards in place — no reshard needed
                 self.params, self.opt_state, meta = load_checkpoint_orbax(
@@ -340,6 +357,7 @@ class Trainer:
             save_fn(
                 self.tcfg.save_path, self.params, self.opt_state,
                 epoch=epoch, iteration=self.iteration, metrics=metrics,
+                optimizer=self.opt.name,
             )
             rank0_print(f"Saved best checkpoint to {self.tcfg.save_path}")
         stop = False

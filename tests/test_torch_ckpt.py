@@ -297,3 +297,154 @@ def test_qr_md_state_dict_mapping():
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_allclose(back[k], sd[k].numpy(), rtol=1e-6, atol=0)
+
+
+def test_export_carries_torch_loadable_opt_state(tmp_path):
+    """The reference loads ld['opt_state_dict'] unconditionally unless
+    --inference-only (dlrm_s_pytorch.py:1729): the export must carry one a
+    real torch optimizer accepts, with our accumulators in it."""
+    cfg = tiny_cfg()
+    params = init_dlrm(cfg, seed=2)
+    opt = OptConfig(name="adagrad", lr=0.05)
+    opt_state = init_opt_state(opt, params, model_groups(cfg))
+    # make the accumulators nontrivial
+    import jax
+
+    opt_state = jax.tree.map(lambda x: x + 0.25, opt_state)
+    from dlrm_yx_tpu.tools.torch_ckpt import export_torch_checkpoint
+
+    out = os.path.join(tmp_path, "e.pt")
+    export_torch_checkpoint(
+        out, cfg, params, opt_state=opt_state, opt=opt,
+        meta={"iteration": 9}, nbatches=10, nbatches_test=2,
+    )
+    ld = torch.load(out, map_location="cpu", weights_only=False)
+    assert "opt_state_dict" in ld
+    model = RefShapedDLRM(ROWS, DIM, [4, 8], [14, 6, 1], seed=4)
+    model.load_state_dict(ld["state_dict"])
+    topt = torch.optim.Adagrad(model.parameters(), lr=0.05)
+    topt.load_state_dict(ld["opt_state_dict"])  # must not raise
+    st = topt.state_dict()["state"]
+    np.testing.assert_allclose(
+        st[0]["sum"].numpy(), np.full((ROWS[0], DIM), 0.25, np.float32),
+        rtol=1e-6,
+    )
+    # and the optimizer still steps afterwards
+    p = model(torch.zeros(2, 4), torch.zeros(3, 2, 1).long())
+    torch.nn.functional.binary_cross_entropy(p, torch.full_like(p, 0.5)).backward()
+    topt.step()
+
+
+def test_export_sgd_opt_state(tmp_path):
+    cfg = tiny_cfg()
+    params = init_dlrm(cfg, seed=2)
+    from dlrm_yx_tpu.tools.torch_ckpt import export_torch_checkpoint
+
+    out = os.path.join(tmp_path, "sgd.pt")
+    export_torch_checkpoint(out, cfg, params)  # defaults: sgd, fresh state
+    ld = torch.load(out, map_location="cpu", weights_only=False)
+    model = RefShapedDLRM(ROWS, DIM, [4, 8], [14, 6, 1], seed=4)
+    topt = torch.optim.SGD(model.parameters(), lr=0.1)
+    topt.load_state_dict(ld["opt_state_dict"])  # empty state, groups match
+
+
+def test_md_identity_wrap_export_keys():
+    """md_flag tables above md_threshold are PrEmbeddingBag-wrapped by the
+    reference even when their dim equals base_dim (Identity proj) — export
+    must emit embs.weight for them (dlrm_s_pytorch.py:291-299)."""
+    cfg = DLRMConfig.build(
+        emb_rows=[300, 40],
+        emb_dims=(8, 8),  # both at base dim; table 0 wrapped (rows > 200)
+        ln_bot=[4, 8],
+        ln_top=[11, 6, 1],
+        md_flag=True,
+        md_threshold=200,
+    )
+    params = init_dlrm(cfg, seed=1)
+    sd = state_dict_from_params(params, cfg)
+    assert "emb_l.0.embs.weight" in sd and "emb_l.0.weight" not in sd
+    assert "emb_l.1.weight" in sd  # below threshold: plain EmbeddingBag
+    # and import round-trips
+    back = params_from_state_dict(sd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(back["emb"][0]), np.asarray(params["emb"][0]), rtol=1e-6
+    )
+
+
+def test_adagrad_import_of_rwsadagrad_ckpt_raises():
+    cfg = tiny_cfg()
+    model = RefShapedDLRM(ROWS, DIM, [4, 8], [14, 6, 1], seed=5)
+    sd = model.state_dict()
+    params = params_from_state_dict(sd, cfg)
+    state = {
+        t: {"step": 1, "momentum": torch.rand(n)} for t, n in enumerate(ROWS)
+    }
+    pidx = len(ROWS)
+    for seq in (model.bot_l, model.top_l):
+        for m in seq:
+            if isinstance(m, torch.nn.Linear):
+                state[pidx] = {"step": 1, "sum": torch.rand(m.weight.shape)}
+                state[pidx + 1] = {"step": 1, "sum": torch.rand(m.bias.shape)}
+                pidx += 2
+    opt_sd = {"state": state, "param_groups": [{"params": list(range(pidx))}]}
+    with pytest.raises(ValueError, match="rwsadagrad"):
+        opt_state_from_torch(opt_sd, sd, cfg, OptConfig(name="adagrad"), params)
+
+
+def test_trainer_rejects_cross_optimizer_resume(tmp_path):
+    from dlrm_yx_tpu.train.checkpoint import save_checkpoint
+    from dlrm_yx_tpu.train.trainer import Trainer, TrainerConfig
+
+    cfg = tiny_cfg()
+    params = init_dlrm(cfg, seed=2)
+    opt = OptConfig(name="adagrad", lr=0.05)
+    opt_state = init_opt_state(opt, params, model_groups(cfg))
+    ck = os.path.join(tmp_path, "ck")
+    save_checkpoint(ck, params, opt_state, optimizer="adagrad")
+    with pytest.raises(ValueError, match="adagrad"):
+        Trainer(
+            cfg,
+            OptConfig(name="sgd", lr=0.1),
+            TrainerConfig(load_path=ck),
+            None,
+        )
+
+
+def test_converter_cli_max_ind_range_clamp(tmp_path):
+    """--max-ind-range clamps table rows like the reference
+    (dlrm_s_pytorch.py:1390-1398) so published-checkpoint arch flags work."""
+    clamp = 30
+    rows = [min(n, clamp) for n in ROWS]
+    cfg = DLRMConfig.build(
+        emb_rows=rows, emb_dims=(DIM,) * 3, ln_bot=[4, 8], ln_top=[14, 6, 1]
+    )
+    model = RefShapedDLRM(rows, DIM, [4, 8], [14, 6, 1], seed=8)
+    save_ref_ckpt(model, os.path.join(tmp_path, "r.pt"))
+    from dlrm_yx_tpu.tools.torch_ckpt import main as ck_main
+
+    out = os.path.join(tmp_path, "dir")
+    ck_main([
+        "--import-pt", os.path.join(tmp_path, "r.pt"),
+        "--ckpt-dir", out,
+        "--arch-embedding-size", "40-25-60",
+        "--max-ind-range", str(clamp),
+        "--arch-sparse-feature-size", str(DIM),
+        "--arch-mlp-bot", "4-8",
+        "--arch-mlp-top", "14-6-1",
+    ])
+    like_p = init_dlrm(cfg, seed=0)
+    params, _, meta = load_checkpoint(out, like_p, {})
+    assert meta["optimizer"] == "sgd"
+    np.testing.assert_allclose(
+        np.asarray(params["bot"][0][0]),
+        model.state_dict()["bot_l.0.weight"].numpy().T,
+        rtol=1e-6,
+    )
+
+
+def test_converter_cli_help():
+    from dlrm_yx_tpu.tools.torch_ckpt import main as ck_main
+
+    with pytest.raises(SystemExit) as e:
+        ck_main(["--help"])
+    assert e.value.code == 0
