@@ -20,12 +20,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 STEPS = 30
-BATCH, L = 2048, 1
+L = 1
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    BATCH = 2048  # serving-latency sweeps: pass --batch N
+    if "--batch" in sys.argv:
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
 
     from xputil import trace_steps
     from dlrm_yx_tpu.config import DLRMConfig
