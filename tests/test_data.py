@@ -633,3 +633,36 @@ def test_cli_load_processed_arch_from_table_configs(tmp_path):
             "--arch-sparse-feature-size=4",
             "--mini-batch-size=8", "--loss-function=bce",
         ])
+
+
+def test_cli_dataset_arch_from_counts(tmp_path):
+    """Dataset mode derives table rows from the preprocessed feature counts
+    clamped by --max-ind-range — no --arch-embedding-size needed, like the
+    reference (dlrm_s_pytorch.py:1388-1400)."""
+    import numpy as np
+
+    from dlrm_yx_tpu.cli import build_parser, config_from_args, main
+
+    rng = np.random.RandomState(1)
+    raw = tmp_path / "train.txt"
+    lines = []
+    for _ in range(210):
+        label = rng.randint(0, 2)
+        ints = [str(rng.randint(0, 50)) for _ in range(13)]
+        cats = [format(rng.randint(0, 300), "x") for _ in range(26)]
+        lines.append("\t".join([str(label)] + ints + cats))
+    raw.write_text("\n".join(lines) + "\n")
+    prefix = str(tmp_path / "proc")
+    common = [
+        "--arch-mlp-bot=13-4", "--arch-sparse-feature-size=4",
+        "--arch-mlp-top=8-1", "--data-generation=dataset",
+        "--data-set=kaggle", f"--raw-data-file={raw}",
+        f"--processed-data-file={prefix}", "--max-ind-range=100",
+        "--mini-batch-size=8", "--round-targets=True", "--print-freq=10",
+    ]
+    s = main(common)  # no --arch-embedding-size anywhere
+    assert 0.0 <= s["accuracy"] <= 1.0
+    cfg = config_from_args(build_parser().parse_args(common))
+    assert len(cfg.emb_rows) == 26
+    assert max(cfg.emb_rows) <= 100  # clamped
+    assert min(cfg.emb_rows) > 1     # real counts, not the flag default
