@@ -439,8 +439,6 @@ def make_hybrid_accum_train_step(
     micro-batch loss."""
     if config.qr_table_ids:
         raise NotImplementedError("grad accumulation with QR tables")
-    if config.weighted_pooling is not None:
-        raise NotImplementedError("grad accumulation with weighted pooling")
     n_model = plan.n_model
     nb = plan.n_big_slots
     ns_slots = plan.t_pad - nb
@@ -480,6 +478,10 @@ def make_hybrid_accum_train_step(
         dense_params = {"bot": params["bot"], "top": params["top"]}
         if "md_proj" in params:
             dense_params["md_proj"] = params["md_proj"]
+        vw_b = params.get("vw")
+        vw_b = vw_b[0] if vw_b is not None else None
+        vw_s = params.get("vw_small")
+        vw_s = vw_s[0] if vw_s is not None else None
 
         def micro(carry, b):
             g_sum, loss_sum = carry
@@ -489,13 +491,13 @@ def make_hybrid_accum_train_step(
                 parts.append(_local_lookup(
                     store_b, offs[:nb], batch.indices[:nb],
                     batch.weights[:nb], plan.r_big_pad, plan.dim,
-                    pack=plan.pack,
+                    vw=vw_b, pack=plan.pack,
                 ))
             if ns_slots > 0:
                 parts.append(_local_lookup(
                     store_s, offs[nb:], batch.indices[nb:],
                     batch.weights[nb:], plan.r_small_pad, plan.dim,
-                    pack=plan.pack,
+                    vw=vw_s, pack=plan.pack,
                 ))
             pooled = (
                 parts[0][0]
@@ -569,13 +571,23 @@ def make_hybrid_accum_train_step(
 
         # one coalesced sparse update per section over ALL micro-batches
         g_pooled_stk = ys[0]  # [n_accum, t_pad, bd, dim]
-        w_g = (
-            batches.weights[..., None] * g_pooled_stk[:, :, :, None, :]
-        )  # [n_accum, t_pad, bd, l, dim]
         yi = 1
         interp = jax.default_backend() != "tpu"
 
-        def accum_flat(slot_lo, slot_hi, gidx_stk):
+        def eff_weights(slot_lo, slot_hi, gidx_stk, vw_sec, bound):
+            """Update-side pooling weights: the base per-sample weights
+            scaled by the per-row v_W factor the forward applied (padding
+            rows carry vw = 0, like _local_lookup)."""
+            wt = batches.weights[:, slot_lo:slot_hi]
+            if vw_sec is not None:
+                safe = jnp.minimum(gidx_stk, bound - 1)
+                wt = wt * jnp.take(vw_sec, safe.reshape(-1)).reshape(
+                    safe.shape
+                )
+            return wt
+
+        def accum_flat(slot_lo, slot_hi, gidx_stk, vw_sec, bound):
+            wt = eff_weights(slot_lo, slot_hi, gidx_stk, vw_sec, bound)
             if plan.pack > 1:
                 width = plan.dim * plan.pack
                 blk = (
@@ -589,20 +601,22 @@ def make_hybrid_accum_train_step(
                     g_pooled_stk[:, slot_lo:slot_hi], (1, 1, 1, plan.pack)
                 )[:, :, :, None, :]
                 return jnp.where(
-                    lmask,
-                    batches.weights[:, slot_lo:slot_hi][..., None] * g128,
-                    0.0,
+                    lmask, wt[..., None] * g128, 0.0
                 ).reshape(-1, width)
-            return w_g[:, slot_lo:slot_hi].reshape(-1, plan.dim)
+            return (
+                wt[..., None] * g_pooled_stk[:, slot_lo:slot_hi][:, :, :, None, :]
+            ).reshape(-1, plan.dim)
 
+        gidx_b_stk = gidx_s_stk = None
         if nb > 0:
-            gidx_stk = ys[yi]
+            gidx_b_stk = ys[yi]
             yi += 1
             fi = jax.lax.all_gather(
-                gidx_stk.reshape(-1), "data", tiled=True
+                gidx_b_stk.reshape(-1), "data", tiled=True
             )
             fg = jax.lax.all_gather(
-                accum_flat(0, nb, gidx_stk), "data", tiled=True
+                accum_flat(0, nb, gidx_b_stk, vw_b, plan.r_big_pad),
+                "data", tiled=True,
             )
             store_b2, acc_b2 = sparse_update(
                 opt, store_b, acc_b, fi, fg, lr, plan.r_big_pad,
@@ -614,12 +628,13 @@ def make_hybrid_accum_train_step(
         else:
             store_b2, acc_b2 = store_b, acc_b
         if ns_slots > 0:
-            gidx_stk = ys[yi]
+            gidx_s_stk = ys[yi]
             fi = jax.lax.all_gather(
-                gidx_stk.reshape(-1), "data", tiled=True
+                gidx_s_stk.reshape(-1), "data", tiled=True
             )
             fg = jax.lax.all_gather(
-                accum_flat(nb, plan.t_pad, gidx_stk), "data", tiled=True
+                accum_flat(nb, plan.t_pad, gidx_s_stk, vw_s, plan.r_small_pad),
+                "data", tiled=True,
             )
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, fi, fg, lr, plan.r_small_pad,
@@ -637,6 +652,74 @@ def make_hybrid_accum_train_step(
             else:
                 new_state["emb"] = acc_b2[None]
                 new_state["emb_small"] = acc_s2[None]
+
+        if vw_b is not None and config.weighted_pooling == "learned":
+            # accumulated v_W gradient: for every occurrence across ALL
+            # micro-batches, d loss / d vw[row] += base_w * <g_pooled,
+            # store[row]> (rows gathered from the PRE-update store — the
+            # same rows the forwards read); one coalesced 1-D update per
+            # section, so Adagrad-family momenta see the accumulated
+            # gradient exactly once (mirrors the per-step path)
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            def gv_section(store_sec, gidx_stk, slot_lo, slot_hi, bound):
+                safe = jnp.minimum(gidx_stk, bound - 1)
+                gp = g_pooled_stk[:, slot_lo:slot_hi]
+                if plan.pack > 1:
+                    width = plan.dim * plan.pack
+                    rows128 = jnp.take(
+                        store_sec, (safe // plan.pack).reshape(-1), axis=0
+                    ).reshape(*safe.shape, width)
+                    blk = (
+                        jax.lax.broadcasted_iota(jnp.int32, (width,), 0)
+                        // plan.dim
+                    )
+                    mask = blk[None, None, None, None, :] == (
+                        safe % plan.pack
+                    )[..., None]
+                    g128 = jnp.tile(gp, (1, 1, 1, plan.pack))[:, :, :, None, :]
+                    gv = jnp.sum(jnp.where(mask, rows128 * g128, 0.0), axis=-1)
+                else:
+                    rows = jnp.take(
+                        store_sec, safe.reshape(-1), axis=0
+                    ).reshape(*safe.shape, plan.dim)
+                    gv = jnp.sum(rows * gp[:, :, :, None, :], axis=-1)
+                return gv * batches.weights[:, slot_lo:slot_hi]
+
+            def vw_section(vw_sec, vacc_sec, gidx_stk, gv, bound):
+                vidx = jnp.where(
+                    gidx_stk.reshape(-1) < bound,
+                    jnp.minimum(gidx_stk, bound - 1).reshape(-1),
+                    bound,
+                )
+                vidx = jax.lax.all_gather(vidx, "data", tiled=True)
+                gvf = jax.lax.all_gather(gv.reshape(-1), "data", tiled=True)
+                return sparse_update_1d(
+                    opt, vw_sec, vacc_sec, vidx, gvf, lr, bound
+                )
+
+            if nb > 0:
+                vacc = opt_state["vw"][0] if opt.name != "sgd" else None
+                gv_b = gv_section(store_b, gidx_b_stk, 0, nb, plan.r_big_pad)
+                vw_b2, vacc_b2 = vw_section(
+                    vw_b, vacc, gidx_b_stk, gv_b, plan.r_big_pad
+                )
+                new_params["vw"] = vw_b2[None]
+                if opt.name != "sgd":
+                    new_state["vw"] = vacc_b2[None]
+            if ns_slots > 0:
+                vacc = (
+                    opt_state["vw_small"][0] if opt.name != "sgd" else None
+                )
+                gv_s = gv_section(
+                    store_s, gidx_s_stk, nb, plan.t_pad, plan.r_small_pad
+                )
+                vw_s2, vacc_s2 = vw_section(
+                    vw_s, vacc, gidx_s_stk, gv_s, plan.r_small_pad
+                )
+                new_params["vw_small"] = vw_s2[None]
+                if opt.name != "sgd":
+                    new_state["vw_small"] = vacc_s2[None]
         return new_params, new_state, loss
 
     pspecs = {
@@ -644,8 +727,10 @@ def make_hybrid_accum_train_step(
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
         "emb_small": P("model"),
-        "vw": None,
+        "vw": P("model") if config.weighted_pooling is not None else None,
     }
+    if config.weighted_pooling is not None:
+        pspecs["vw_small"] = P("model")
     if config.md_table_ids:
         pspecs["md_proj"] = [P()] * len(config.md_table_ids)
     sspecs = (
@@ -658,6 +743,11 @@ def make_hybrid_accum_train_step(
             },
             "emb": P("model"),
             "emb_small": P("model"),
+            **(
+                {"vw": P("model"), "vw_small": P("model")}
+                if config.weighted_pooling is not None
+                else {}
+            ),
             **(
                 {"md_proj": [P()] * len(config.md_table_ids)}
                 if config.md_table_ids
@@ -1131,8 +1221,11 @@ def make_hybrid_train_step(
             "emb": P("model"),
             "emb_small": P("model"),
             **(
+                # fixed mode carries (dead, zero) vw accumulators too:
+                # init_hybrid_opt_state creates them whenever params have
+                # vw, and shard_map specs must match the state pytree
                 {"vw": P("model"), "vw_small": P("model")}
-                if config.weighted_pooling == "learned"
+                if config.weighted_pooling is not None
                 else {}
             ),
             **({"qr_r": P()} if has_qr else {}),

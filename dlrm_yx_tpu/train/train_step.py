@@ -403,14 +403,31 @@ def make_accum_train_step(
 
         # one coalesced sparse update over all micro-batches' contributions
         new_emb, new_emb_acc = [], []
+        new_vw = list(params["vw"]) if params.get("vw") is not None else None
+        new_vw_acc = (
+            list(opt_state["vw"])
+            if opt.name != "sgd" and "vw" in opt_state
+            else None
+        )
         for gi, g in enumerate(groups):
+            vw_g = params["vw"][gi] if params.get("vw") is not None else None
             fidx_all, fg_all = [], []
+            vidx_all, vg_all = [], []
             for m in range(n_accum):
                 idx_g = group_indices(g, batches.indices[m])
                 w_g = group_indices(g, batches.weights[m])
-                fidx, fg = flat_row_grads(g, idx_g, w_g, g_pooled_stack[gi][m])
+                # the row grad carries the v_W factor the forward applied
+                fidx, fg = flat_row_grads(
+                    g, idx_g, w_g, g_pooled_stack[gi][m], vw_g
+                )
                 fidx_all.append(fidx)
                 fg_all.append(fg)
+                if vw_g is not None and config.weighted_pooling == "learned":
+                    vidx, vg = vw_row_grads(
+                        g, params["emb"][gi], idx_g, w_g, g_pooled_stack[gi][m]
+                    )
+                    vidx_all.append(vidx)
+                    vg_all.append(vg)
             acc = opt_state["emb"][gi] if opt.name != "sgd" else None
             store2, acc2 = sparse_update(
                 opt, params["emb"][gi], acc,
@@ -423,9 +440,25 @@ def make_accum_train_step(
             )
             new_emb.append(store2)
             new_emb_acc.append(acc2)
+            if vidx_all:
+                # all micro-batches' v_W contributions in ONE coalesced
+                # 1-D update (momentum sees the accumulated grad once)
+                vacc = opt_state["vw"][gi] if opt.name != "sgd" else None
+                vw2, vacc2 = sparse_update_1d(
+                    opt, vw_g, vacc,
+                    jnp.concatenate(vidx_all), jnp.concatenate(vg_all),
+                    lr, g.total_rows,
+                )
+                new_vw[gi] = vw2
+                if new_vw_acc is not None:
+                    new_vw_acc[gi] = vacc2
         new_params["emb"] = new_emb
+        if new_vw is not None:
+            new_params["vw"] = new_vw
         if opt.name != "sgd":
             new_state["emb"] = new_emb_acc
+            if new_vw_acc is not None:
+                new_state["vw"] = new_vw_acc
         return new_params, new_state, loss_sum / n_accum
 
     if jit:

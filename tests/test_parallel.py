@@ -419,6 +419,7 @@ def test_hybrid_md_matches_single_device(optname):
 
 @pytest.mark.parametrize("pooling,optname", [
     ("fixed", "sgd"), ("learned", "sgd"), ("learned", "rwsadagrad"),
+    ("fixed", "adagrad"),  # regression: fixed-mode vw state specs
 ])
 def test_hybrid_weighted_pooling_matches_single_device(pooling, optname):
     """v_W per-row pooling weights (fixed and learned) through the hybrid
@@ -618,3 +619,61 @@ def test_hybrid_accum_exact_momentum_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         results["pallas"][0], results["xla"][0], rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("pooling,optname", [
+    ("fixed", "sgd"), ("learned", "sgd"), ("learned", "rwsadagrad"),
+])
+def test_hybrid_grad_accum_weighted_pooling(pooling, optname):
+    """--mlperf-grad-accum-iter composes with v_W weighted pooling on the
+    hybrid mesh: matches the single-device accumulation step, and learned
+    v_W actually trains (it was silently frozen before round 3)."""
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    n_accum = 2
+    cfg = DLRMConfig(
+        emb_rows=(60, 40, 90), ln_bot=(4, 8, 4),
+        ln_top=(4 * 3 // 2 + 4, 8, 1), weighted_pooling=pooling,
+    )
+    opt = OptConfig(optname, 0.1)
+    seed = 4
+    micros = _make_batches(cfg, n_batches=4, b=8, l=2, seed=31)
+
+    p1 = init_dlrm(cfg, seed=seed)
+    vw_before = [np.asarray(v).copy() for v in p1["vw"]]
+    s1 = init_s(opt, p1, model_groups(cfg))
+    step1 = make_accum_train_step(cfg, opt, n_accum)
+    losses1 = []
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            jnp.stack([jnp.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        p1, s1, loss = step1(p1, s1, stacked, it)
+        losses1.append(float(loss))
+    if pooling == "learned":
+        # v_W moved away from its ones-init (it trains under accumulation)
+        delta = max(
+            float(np.abs(np.asarray(v) - v0).max())
+            for v, v0 in zip(p1["vw"], vw_before)
+        )
+        assert delta > 1e-6, "learned v_W did not train under accumulation"
+
+    r = HybridRunner(cfg, opt, data=2, model=2, seed=seed,
+                     n_accum=n_accum, sharder="naive")
+    p2, s2 = r.params, r.opt_state
+    losses2 = []
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            np.stack([np.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        sb = r.prepare_batch(stacked)
+        p2, s2, loss = r.train_step(p2, s2, sb, it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
