@@ -374,8 +374,11 @@ def make_col_sharded_train_step(
             },
             "emb": P("model"),
             **(
+                # fixed mode carries (dead, zero) vw accumulators too —
+                # init_col_sharded_opt_state creates them whenever params
+                # have vw
                 {"vw": P()}
-                if config.weighted_pooling == "learned"
+                if config.weighted_pooling is not None
                 else {}
             ),
         }
@@ -406,9 +409,9 @@ def make_col_sharded_accum_train_step(
 ):
     """Gradient accumulation over n_accum micro-batches with ONE optimizer
     step on the column-sharded mesh (--mlperf-grad-accum-iter; every Batch
-    leaf carries a leading [n_accum] axis)."""
-    if config.weighted_pooling is not None:
-        raise NotImplementedError("grad accumulation with weighted pooling")
+    leaf carries a leading [n_accum] axis); v_W weighted pooling composes
+    (learned v_W grads accumulate across all micro-batches into one
+    coalesced replicated update)."""
     offs = np.asarray(plan.row_offsets, np.int32)
 
     def local_step(params, opt_state, batches, iteration):
@@ -422,12 +425,15 @@ def make_col_sharded_accum_train_step(
             acc = None
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
+        vw = params.get("vw")
 
         def micro(carry, b):
             g_sum, loss_sum = carry
             batch = Batch(*b)
             gid = batch.indices + jnp.asarray(offs)[:, None, None]
-            pooled_local, _, _ = _local_pooled(store, plan, gid, batch.weights)
+            pooled_local, _, _ = _local_pooled(
+                store, plan, gid, batch.weights, vw
+            )
             bsz_global = batch.labels.shape[0] * n_total
 
             def dense_loss(dp, pooled_in):
@@ -481,8 +487,15 @@ def make_col_sharded_accum_train_step(
             new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
 
         flat_idx = gid_stk.reshape(-1)
+        # update-side weights carry the v_W factor the forward applied
+        wt = batches.weights
+        safe_stk = jnp.minimum(gid_stk, plan.total_rows - 1)
+        if vw is not None:
+            wt = wt * jnp.take(vw, safe_stk.reshape(-1)).reshape(
+                safe_stk.shape
+            )
         flat_g = (
-            batches.weights[..., None] * g_pooled_stk[:, :, :, None, :]
+            wt[..., None] * g_pooled_stk[:, :, :, None, :]
         ).reshape(-1, plan.d_local)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
@@ -515,13 +528,42 @@ def make_col_sharded_accum_train_step(
                 new_state["emb"] = acc2  # flat per shard
             else:
                 new_state["emb"] = acc2[None]
+        if vw is not None and config.weighted_pooling == "learned":
+            # accumulated d loss / d vw[row] = base_w * <g_pooled_full,
+            # store_full[row]> over ALL micro-batches: psum the per-slice
+            # partial dots over "model" (each shard holds d_local columns),
+            # rows from the PRE-update store; the replicated update is
+            # identical on every shard
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            rows = jnp.take(
+                store, safe_stk.reshape(-1), axis=0
+            ).reshape(*safe_stk.shape, plan.d_local)
+            gv = (
+                jnp.sum(rows * g_pooled_stk[:, :, :, None, :], axis=-1)
+                * batches.weights
+            ).reshape(-1)
+            gv = jax.lax.psum(gv, "model")
+            vidx = jnp.where(
+                gid_stk.reshape(-1) < plan.total_rows,
+                gid_stk.reshape(-1), plan.total_rows,
+            )
+            vidx = jax.lax.all_gather(vidx, "data", tiled=True)
+            gv = jax.lax.all_gather(gv, "data", tiled=True)
+            vacc = opt_state.get("vw") if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, vw, vacc, vidx, gv, lr, plan.total_rows
+            )
+            new_params["vw"] = vw2
+            if opt.name != "sgd":
+                new_state["vw"] = vacc2
         return new_params, new_state, loss
 
     pspecs = {
         "bot": [(P(), P())] * (len(config.ln_bot) - 1),
         "top": [(P(), P())] * (len(config.ln_top) - 1),
         "emb": P("model"),
-        "vw": None,
+        "vw": P() if config.weighted_pooling is not None else None,
     }
     sspecs = (
         {}
@@ -532,6 +574,12 @@ def make_col_sharded_accum_train_step(
                 "top": [(P(), P())] * (len(config.ln_top) - 1),
             },
             "emb": P("model"),
+            **(
+                # fixed mode carries (dead, zero) vw accumulators too
+                {"vw": P()}
+                if config.weighted_pooling is not None
+                else {}
+            ),
         }
     )
     bspecs = Batch(

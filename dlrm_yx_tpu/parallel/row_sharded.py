@@ -498,8 +498,10 @@ def make_row_sharded_train_step(
             },
             "emb": P("model"),
             **(
+                # fixed mode carries (dead, zero) vw accumulators too —
+                # init_row_opt_state creates them whenever params have vw
                 {"vw": P("model")}
-                if config.weighted_pooling == "learned"
+                if config.weighted_pooling is not None
                 else {}
             ),
         }
@@ -531,9 +533,9 @@ def make_row_sharded_accum_train_step(
     """Gradient accumulation over n_accum micro-batches with ONE optimizer
     step on the row-sharded mesh (--mlperf-grad-accum-iter; every Batch
     leaf carries a leading [n_accum] axis). Dense grads summed over
-    micro-batches, sparse grads applied in one coalesced update."""
-    if config.weighted_pooling is not None:
-        raise NotImplementedError("grad accumulation with weighted pooling")
+    micro-batches, sparse grads applied in one coalesced update; v_W
+    weighted pooling composes (learned v_W grads accumulate across all
+    micro-batches into one coalesced 1-D update)."""
     offs = np.asarray(plan.row_offsets, np.int32)
     n_model = plan.n_model
 
@@ -548,13 +550,15 @@ def make_row_sharded_accum_train_step(
             acc = None
         n_total = mesh.shape["data"] * mesh.shape["model"]
         dense_params = {"bot": params["bot"], "top": params["top"]}
+        vw = params.get("vw")
+        vw = vw[0] if vw is not None else None
 
         def micro(carry, b):
             g_sum, loss_sum = carry
             batch = Batch(*b)
             gid = batch.indices + jnp.asarray(offs)[:, None, None]
             partial, local_ids, _, _, _ = _partial_pooled(
-                store, plan, gid, batch.weights
+                store, plan, gid, batch.weights, vw
             )
             pooled = jax.lax.psum_scatter(
                 partial, "model", scatter_dimension=1, tiled=True
@@ -609,6 +613,14 @@ def make_row_sharded_accum_train_step(
             new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
 
         flat_idx = ids_stk.reshape(-1)
+        # update-side pooling weights: the v_W-scaled weights the forward
+        # used; non-owned occurrences carry the sentinel id and weight 0
+        wt = jnp.where(ids_stk < plan.rows_local, batches.weights, 0.0)
+        safe_stk = jnp.clip(ids_stk, 0, plan.rows_local - 1)
+        if vw is not None:
+            wt = wt * jnp.take(vw, safe_stk.reshape(-1)).reshape(
+                safe_stk.shape
+            )
         if plan.pack > 1:
             width = plan.dim * plan.pack
             blk = (
@@ -619,11 +631,11 @@ def make_row_sharded_accum_train_step(
             )[..., None]
             g128 = jnp.tile(g_full_stk, (1, 1, 1, plan.pack))[:, :, :, None, :]
             flat_g = jnp.where(
-                lmask, batches.weights[..., None] * g128, 0.0
+                lmask, wt[..., None] * g128, 0.0
             ).reshape(-1, width)
         else:
             flat_g = (
-                batches.weights[..., None] * g_full_stk[:, :, :, None, :]
+                wt[..., None] * g_full_stk[:, :, :, None, :]
             ).reshape(-1, plan.dim)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
@@ -640,6 +652,40 @@ def make_row_sharded_accum_train_step(
                 new_state["emb"] = acc2  # flat per shard
             else:
                 new_state["emb"] = acc2[None]
+        if vw is not None and config.weighted_pooling == "learned":
+            # accumulated d loss / d vw[row] = base_w * <g_full, store[row]>
+            # over ALL micro-batches (rows from the PRE-update store), one
+            # coalesced 1-D update so momentum sees the sum once
+            from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
+
+            if plan.pack > 1:
+                rows128 = jnp.take(
+                    store, (safe_stk // plan.pack).reshape(-1), axis=0
+                ).reshape(*safe_stk.shape, width)
+                mask = blk[None, None, None, None, :] == (
+                    safe_stk % plan.pack
+                )[..., None]
+                g128v = jnp.tile(
+                    g_full_stk, (1, 1, 1, plan.pack)
+                )[:, :, :, None, :]
+                dots = jnp.sum(jnp.where(mask, rows128 * g128v, 0.0), axis=-1)
+            else:
+                rows = jnp.take(
+                    store, safe_stk.reshape(-1), axis=0
+                ).reshape(*safe_stk.shape, plan.dim)
+                dots = jnp.sum(rows * g_full_stk[:, :, :, None, :], axis=-1)
+            gv = dots * jnp.where(
+                ids_stk < plan.rows_local, batches.weights, 0.0
+            )
+            vidx = jax.lax.all_gather(ids_stk.reshape(-1), "data", tiled=True)
+            gvf = jax.lax.all_gather(gv.reshape(-1), "data", tiled=True)
+            vacc = opt_state["vw"][0] if opt.name != "sgd" else None
+            vw2, vacc2 = sparse_update_1d(
+                opt, vw, vacc, vidx, gvf, lr, plan.rows_local
+            )
+            new_params["vw"] = vw2[None]
+            if opt.name != "sgd":
+                new_state["vw"] = vacc2[None]
         return new_params, new_state, loss
 
     pspecs = {
@@ -658,8 +704,10 @@ def make_row_sharded_accum_train_step(
             },
             "emb": P("model"),
             **(
+                # fixed mode carries (dead, zero) vw accumulators too —
+                # init_row_opt_state creates them whenever params have vw
                 {"vw": P("model")}
-                if config.weighted_pooling == "learned"
+                if config.weighted_pooling is not None
                 else {}
             ),
         }

@@ -260,6 +260,9 @@ def test_mesh_grad_accum_matches_single_device(mode, optname):
     ("row", "learned", "rwsadagrad"),
     ("col", "fixed", "sgd"),
     ("col", "learned", "adagrad"),
+    # regression: fixed-mode vw accumulators must have shard_map specs
+    ("row", "fixed", "adagrad"),
+    ("col", "fixed", "rwsadagrad"),
 ])
 def test_mesh_weighted_pooling_matches_single_device(mode, wmode, optname):
     """v_W weighted pooling (fixed + learned) on the row/col-sharded paths
@@ -293,5 +296,67 @@ def test_mesh_weighted_pooling_matches_single_device(mode, wmode, optname):
     losses2 = []
     for it, b in enumerate(batches):
         p2, s2, loss = r.train_step(p2, s2, r.prepare_batch(b), it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode,wmode,optname", [
+    ("row", "fixed", "sgd"),
+    ("row", "learned", "rwsadagrad"),
+    ("col", "fixed", "adagrad"),
+    ("col", "learned", "sgd"),
+])
+def test_mesh_grad_accum_weighted_pooling(mode, wmode, optname):
+    """--mlperf-grad-accum-iter composes with v_W weighted pooling on the
+    row/col-sharded meshes: matches the single-device accumulation step
+    (which trains learned v_W with coalesced-once momentum)."""
+    import dataclasses
+
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    if 4 > len(jax.devices()):
+        pytest.skip("not enough devices")
+    n_accum = 2
+    cfg = dataclasses.replace(
+        make_cfg(t=4, rows=40, dim=8), weighted_pooling=wmode
+    )
+    opt = OptConfig(name=optname, lr=0.1)
+    seed = 5
+    micros = _make_batches(cfg, n_batches=4, b=8, l=2, seed=33)
+
+    params1 = init_dlrm(cfg, seed=seed)
+    groups = build_table_groups(cfg.emb_rows, cfg.emb_dims)
+    s1 = init_opt_state(opt, params1, groups)
+    step1 = make_accum_train_step(cfg, opt, n_accum)
+    losses1, p1 = [], params1
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            jnp.stack([jnp.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        p1, s1, loss = step1(p1, s1, stacked, it)
+        losses1.append(float(loss))
+    if wmode == "learned":
+        delta = max(
+            float(np.abs(np.asarray(v) - 1.0).max()) for v in p1["vw"]
+        )
+        assert delta > 1e-6, "learned v_W did not train under accumulation"
+
+    if mode == "row":
+        from dlrm_yx_tpu.parallel.row_sharded import RowShardedRunner as R
+    else:
+        from dlrm_yx_tpu.parallel.col_sharded import ColShardedRunner as R
+    r = R(cfg, opt, data=2, model=2, seed=seed, n_accum=n_accum)
+    p2, s2 = r.params, r.opt_state
+    losses2 = []
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            np.stack([np.asarray(getattr(b, f)) for b in group])
+            for f in Batch._fields
+        ])
+        sb = r.prepare_batch(stacked)
+        p2, s2, loss = r.train_step(p2, s2, sb, it)
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
