@@ -333,8 +333,7 @@ def make_accum_train_step(
     gradient exactly once. Returns the mean micro-batch loss.
     """
     groups = model_groups(config)
-    if config.qr_table_ids:
-        raise NotImplementedError("grad accumulation with QR tables")
+    has_qr = bool(config.qr_table_ids)
 
     def step(params, opt_state, batches, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
@@ -349,26 +348,31 @@ def make_accum_train_step(
                 params, groups, batch.indices, batch.weights,
                 config.lookup_impl,
             )
+            qr_pooled = (
+                qr_lookup_all(params, config, batch.indices, batch.weights)
+                if has_qr
+                else []
+            )
 
-            def dense_loss(dp, pooled_in):
+            def dense_loss(dp, pooled_in, qr_in):
                 p2 = dict(params)
                 p2.update(dp)
                 logits = forward_from_pooled(
-                    p2, config, groups, batch.dense, pooled_in
+                    p2, config, groups, batch.dense, pooled_in, qr_in
                 )
                 return loss_fn(
                     logits, batch.labels, config.loss, config.loss_threshold,
                     config.wbce_weights,
                 )
 
-            loss, (g_dense, g_pooled) = jax.value_and_grad(
-                dense_loss, argnums=(0, 1)
-            )(dense_params, pooled)
+            loss, (g_dense, g_pooled, g_qr) = jax.value_and_grad(
+                dense_loss, argnums=(0, 1, 2)
+            )(dense_params, pooled, qr_pooled)
             g_dense_sum = jax.tree.map(jnp.add, g_dense_sum, g_dense)
-            return (g_dense_sum, loss_sum + loss), g_pooled
+            return (g_dense_sum, loss_sum + loss), (g_pooled, g_qr)
 
         zero_gd = jax.tree.map(jnp.zeros_like, dense_params)
-        (g_dense, loss_sum), g_pooled_stack = jax.lax.scan(
+        (g_dense, loss_sum), (g_pooled_stack, g_qr_stack) = jax.lax.scan(
             micro, (zero_gd, jnp.float32(0.0)), tuple(batches)
         )
 
@@ -400,6 +404,46 @@ def make_accum_train_step(
             new_params["md_proj"] = new_proj
             if opt.name != "sgd":
                 new_state["md_proj"] = new_acc
+
+        if has_qr:
+            # QR sub-table updates: chain-rule row grads from every
+            # micro-batch (against the PRE-update stores), concatenated
+            # into ONE coalesced update per sub-table
+            new_qr, new_qr_acc = [], []
+            for i, spec in enumerate(qr_specs(config)):
+                q, r = params["qr"][i]
+                qi_all, gq_all, ri_all, gr_all = [], [], [], []
+                for m in range(n_accum):
+                    (qi, gq), (ri, gr) = qr_row_grads(
+                        q, r, spec,
+                        batches.indices[m][spec.table_id],
+                        batches.weights[m][spec.table_id],
+                        g_qr_stack[i][m],
+                    )
+                    qi_all.append(qi)
+                    gq_all.append(gq)
+                    ri_all.append(ri)
+                    gr_all.append(gr)
+                q_acc, r_acc = (
+                    opt_state["qr"][i] if opt.name != "sgd" else (None, None)
+                )
+                q2, q_acc2 = sparse_update(
+                    opt, q, q_acc,
+                    jnp.concatenate(qi_all), jnp.concatenate(gq_all),
+                    lr, spec.q_rows,
+                    impl=config.sparse_update_impl, interpret=_interpret(),
+                )
+                r2, r_acc2 = sparse_update(
+                    opt, r, r_acc,
+                    jnp.concatenate(ri_all), jnp.concatenate(gr_all),
+                    lr, spec.collisions,
+                    impl=config.sparse_update_impl, interpret=_interpret(),
+                )
+                new_qr.append((q2, r2))
+                new_qr_acc.append((q_acc2, r_acc2))
+            new_params["qr"] = new_qr
+            if opt.name != "sgd":
+                new_state["qr"] = new_qr_acc
 
         # one coalesced sparse update over all micro-batches' contributions
         new_emb, new_emb_acc = [], []

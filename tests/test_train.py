@@ -281,3 +281,88 @@ def test_cli_grad_accum():
         "--mlperf-grad-accum-iter=4", "--print-freq=1",
     ])
     assert 0.0 <= s["accuracy"] <= 1.0
+
+
+def test_grad_accumulation_qr_tables():
+    """make_accum_train_step with QR tables: the accumulated QR sub-table
+    update equals the manually summed per-micro-batch QR gradients applied
+    once (SGD exactness; momentum-once follows from the single coalesced
+    update)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.models.dlrm import (
+        forward_from_pooled,
+        lookup_all_groups,
+        model_groups,
+        qr_lookup_all,
+    )
+    from dlrm_yx_tpu.ops.losses import loss_fn as _loss
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    cfg = DLRMConfig.build(
+        emb_rows=[300, 40], emb_dims=(8, 8), ln_bot=[4, 8], ln_top=[8, 1],
+        qr_flag=True, qr_threshold=100, qr_collisions=4,
+    )
+    assert cfg.qr_table_ids == (0,)
+    opt = OptConfig("sgd", 0.1)
+    n, bsz = 3, 8
+
+    def mk(seed):
+        r2 = np.random.RandomState(seed)
+        return Batch(
+            r2.rand(bsz, 4).astype(np.float32),
+            np.stack(
+                [r2.randint(0, x, (bsz, 2)) for x in cfg.emb_rows]
+            ).astype(np.int32),
+            np.ones((2, bsz, 2), np.float32),
+            (r2.rand(bsz, 1) > 0.5).astype(np.float32),
+        )
+
+    micro = [mk(i) for i in range(n)]
+    stacked = Batch(
+        *[jnp.asarray(np.stack([np.asarray(getattr(b, f)) for b in micro]))
+          for f in Batch._fields]
+    )
+    p = init_dlrm(cfg, seed=5)
+    groups = model_groups(cfg)
+    s = init_opt_state(opt, p, groups)
+
+    def one_loss(qr_params, batch):
+        p2 = {**p, "qr": qr_params}
+        pooled = lookup_all_groups(
+            p2, groups, batch.indices, batch.weights, "xla"
+        )
+        qr_pooled = qr_lookup_all(p2, cfg, batch.indices, batch.weights)
+        logits = forward_from_pooled(
+            p2, cfg, groups, batch.dense, pooled, qr_pooled
+        )
+        return _loss(
+            logits, batch.labels, cfg.loss, cfg.loss_threshold, cfg.wbce_weights
+        )
+
+    gsum = jax.tree.map(jnp.zeros_like, p["qr"])
+    for b in micro:
+        g = jax.grad(one_loss)(p["qr"], Batch(*map(jnp.asarray, b)))
+        gsum = jax.tree.map(jnp.add, gsum, g)
+    q_expect = np.asarray(p["qr"][0][0] - 0.1 * gsum[0][0])
+    r_expect = np.asarray(p["qr"][0][1] - 0.1 * gsum[0][1])
+
+    step = make_accum_train_step(cfg, opt, n)
+    p2, s2, loss = step(p, s, stacked, 0)
+    np.testing.assert_allclose(
+        np.asarray(p2["qr"][0][0]), q_expect, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(p2["qr"][0][1]), r_expect, rtol=1e-5, atol=1e-7
+    )
+    assert np.isfinite(float(loss))
+
+    # rwsadagrad composes too (momentum sees the accumulated grad once)
+    p_fresh = init_dlrm(cfg, seed=5)  # the first step donated p
+    opt2 = OptConfig("rwsadagrad", 0.1)
+    s3 = init_opt_state(opt2, p_fresh, groups)
+    step2 = make_accum_train_step(cfg, opt2, n)
+    p3, s4, loss2 = step2(p_fresh, s3, stacked, 0)
+    assert np.isfinite(float(loss2))
+    assert float(np.abs(np.asarray(s4["qr"][0][0])).max()) > 0
