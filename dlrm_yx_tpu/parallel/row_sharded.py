@@ -662,13 +662,10 @@ def make_row_sharded_accum_train_step(
                 rows128 = jnp.take(
                     store, (safe_stk // plan.pack).reshape(-1), axis=0
                 ).reshape(*safe_stk.shape, width)
-                mask = blk[None, None, None, None, :] == (
-                    safe_stk % plan.pack
-                )[..., None]
-                g128v = jnp.tile(
-                    g_full_stk, (1, 1, 1, plan.pack)
-                )[:, :, :, None, :]
-                dots = jnp.sum(jnp.where(mask, rows128 * g128v, 0.0), axis=-1)
+                # lmask/g128 from the embedding-grad branch above: lmask
+                # differs from a safe_stk-derived mask only at sentinel
+                # entries, whose contribution gv zeroes via the weight mask
+                dots = jnp.sum(jnp.where(lmask, rows128 * g128, 0.0), axis=-1)
             else:
                 rows = jnp.take(
                     store, safe_stk.reshape(-1), axis=0

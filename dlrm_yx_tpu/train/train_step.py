@@ -412,31 +412,27 @@ def make_accum_train_step(
             new_qr, new_qr_acc = [], []
             for i, spec in enumerate(qr_specs(config)):
                 q, r = params["qr"][i]
-                qi_all, gq_all, ri_all, gr_all = [], [], [], []
-                for m in range(n_accum):
-                    (qi, gq), (ri, gr) = qr_row_grads(
-                        q, r, spec,
-                        batches.indices[m][spec.table_id],
-                        batches.weights[m][spec.table_id],
-                        g_qr_stack[i][m],
-                    )
-                    qi_all.append(qi)
-                    gq_all.append(gq)
-                    ri_all.append(ri)
-                    gr_all.append(gr)
+                # qr_row_grads is batch-polymorphic: fold the micro axis
+                # into the batch axis (one traced copy; occurrence order
+                # is irrelevant to the coalesced update)
+                idx_i = batches.indices[:, spec.table_id]
+                w_i = batches.weights[:, spec.table_id]
+                na, bsz, l = idx_i.shape
+                (qi, gq), (ri, gr) = qr_row_grads(
+                    q, r, spec,
+                    idx_i.reshape(na * bsz, l),
+                    w_i.reshape(na * bsz, l),
+                    g_qr_stack[i].reshape(na * bsz, -1),
+                )
                 q_acc, r_acc = (
                     opt_state["qr"][i] if opt.name != "sgd" else (None, None)
                 )
                 q2, q_acc2 = sparse_update(
-                    opt, q, q_acc,
-                    jnp.concatenate(qi_all), jnp.concatenate(gq_all),
-                    lr, spec.q_rows,
+                    opt, q, q_acc, qi, gq, lr, spec.q_rows,
                     impl=config.sparse_update_impl, interpret=_interpret(),
                 )
                 r2, r_acc2 = sparse_update(
-                    opt, r, r_acc,
-                    jnp.concatenate(ri_all), jnp.concatenate(gr_all),
-                    lr, spec.collisions,
+                    opt, r, r_acc, ri, gr, lr, spec.collisions,
                     impl=config.sparse_update_impl, interpret=_interpret(),
                 )
                 new_qr.append((q2, r2))
