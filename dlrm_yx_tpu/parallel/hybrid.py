@@ -437,13 +437,26 @@ def make_hybrid_accum_train_step(
     in one coalesced update per store section, so Adagrad-family momenta
     see the accumulated gradient exactly once. Returns the mean
     micro-batch loss."""
-    if config.qr_table_ids:
-        raise NotImplementedError("grad accumulation with QR tables")
     n_model = plan.n_model
     nb = plan.n_big_slots
     ns_slots = plan.t_pad - nb
     offs_all = np.asarray(plan.row_offsets, np.int32).reshape(n_model, plan.t_pad)
     gather_all = np.asarray(plan.canonical_gather, np.int32)
+    coll_all = np.asarray(plan.slot_coll, np.int32).reshape(n_model, plan.t_pad)
+    roff_all = np.asarray(plan.slot_roff, np.int32).reshape(n_model, plan.t_pad)
+    has_qr = plan.qr_r_rows > 0
+    has_xf = any(plan.pseudo_xform)
+    xform_all = (
+        np.asarray(
+            [
+                plan.pseudo_xform[pid] if pid >= 0 else 0
+                for pid in plan.device_table_order
+            ],
+            np.int32,
+        ).reshape(n_model, plan.t_pad)
+        if has_xf
+        else None
+    )
     row_dim_big_all = row_dim_small_all = None
     if opt.name == "rwsadagrad" and (
         config.md_table_ids or len(set(config.emb_dims)) > 1
@@ -482,6 +495,20 @@ def make_hybrid_accum_train_step(
         vw_b = vw_b[0] if vw_b is not None else None
         vw_s = params.get("vw_small")
         vw_s = vw_s[0] if vw_s is not None else None
+        r_store = params.get("qr_r") if has_qr else None
+        coll = roff = None
+        if has_qr:
+            coll = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(coll_all), m, 0, keepdims=False
+            )
+            roff = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(roff_all), m, 0, keepdims=False
+            )
+        xf = None
+        if xform_all is not None:
+            xf = jax.lax.dynamic_index_in_dim(
+                jnp.asarray(xform_all), m, 0, keepdims=False
+            )
 
         def micro(carry, b):
             g_sum, loss_sum = carry
@@ -491,13 +518,23 @@ def make_hybrid_accum_train_step(
                 parts.append(_local_lookup(
                     store_b, offs[:nb], batch.indices[:nb],
                     batch.weights[:nb], plan.r_big_pad, plan.dim,
-                    vw=vw_b, pack=plan.pack,
+                    r_store,
+                    coll[:nb] if coll is not None else None,
+                    roff[:nb] if roff is not None else None,
+                    config.qr_operation, vw_b, plan.pack,
+                    xf[:nb] if xf is not None else None,
+                    config.qr_collisions,
                 ))
             if ns_slots > 0:
                 parts.append(_local_lookup(
                     store_s, offs[nb:], batch.indices[nb:],
                     batch.weights[nb:], plan.r_small_pad, plan.dim,
-                    vw=vw_s, pack=plan.pack,
+                    r_store,
+                    coll[nb:] if coll is not None else None,
+                    roff[nb:] if roff is not None else None,
+                    config.qr_operation, vw_s, plan.pack,
+                    xf[nb:] if xf is not None else None,
+                    config.qr_collisions,
                 ))
             pooled = (
                 parts[0][0]
@@ -586,7 +623,26 @@ def make_hybrid_accum_train_step(
                 )
             return wt
 
-        def accum_flat(slot_lo, slot_hi, gidx_stk, vw_sec, bound):
+        # QR chain-rule pieces, recomputed post-scan from the static plan
+        # (the stores are constant through the accumulation window):
+        # quotient grads scale by d combine/d Q (r_rows for mult, 1 for
+        # add); remainder grads accumulate densely into the replicated
+        # qr_r store (mirrors the per-step block above)
+        isq5 = r_rows_all = ridx_all = None
+        if has_qr:
+            isq = (coll > 0)[None, :, None, None]
+            c4 = jnp.maximum(coll, 1)[None, :, None, None]
+            ridx_all = jnp.where(
+                isq, batches.indices % c4 + roff[None, :, None, None],
+                plan.qr_r_rows,
+            )
+            safe_r = jnp.clip(ridx_all, 0, plan.qr_r_rows - 1)
+            r_rows_all = jnp.take(
+                r_store, safe_r.reshape(-1), axis=0
+            ).reshape(*safe_r.shape, plan.dim)
+            isq5 = isq[..., None]
+
+        def accum_flat(slot_lo, slot_hi, gidx_stk, vw_sec, bound, store_sec):
             wt = eff_weights(slot_lo, slot_hi, gidx_stk, vw_sec, bound)
             if plan.pack > 1:
                 width = plan.dim * plan.pack
@@ -602,22 +658,44 @@ def make_hybrid_accum_train_step(
                 )[:, :, :, None, :]
                 return jnp.where(
                     lmask, wt[..., None] * g128, 0.0
-                ).reshape(-1, width)
-            return (
-                wt[..., None] * g_pooled_stk[:, slot_lo:slot_hi][:, :, :, None, :]
-            ).reshape(-1, plan.dim)
+                ).reshape(-1, width), None, None
+            w_g = (
+                wt[..., None]
+                * g_pooled_stk[:, slot_lo:slot_hi][:, :, :, None, :]
+            )
+            gr_flat = ridx_flat = None
+            if has_qr:
+                isq_sec = isq5[:, slot_lo:slot_hi]
+                if config.qr_operation == "mult":
+                    safe = jnp.minimum(gidx_stk, bound - 1)
+                    q_rows = jnp.take(
+                        store_sec, safe.reshape(-1), axis=0
+                    ).reshape(*safe.shape, plan.dim)
+                    gr = jnp.where(isq_sec, w_g * q_rows, 0.0)
+                    w_g = w_g * jnp.where(
+                        isq_sec, r_rows_all[:, slot_lo:slot_hi], 1.0
+                    )
+                else:  # add
+                    gr = jnp.where(isq_sec, w_g, 0.0)
+                gr_flat = gr.reshape(-1, plan.dim)
+                ridx_flat = ridx_all[:, slot_lo:slot_hi].reshape(-1)
+            return w_g.reshape(-1, plan.dim), gr_flat, ridx_flat
 
         gidx_b_stk = gidx_s_stk = None
+        qr_gr_parts, qr_ridx_parts = [], []
         if nb > 0:
             gidx_b_stk = ys[yi]
             yi += 1
             fi = jax.lax.all_gather(
                 gidx_b_stk.reshape(-1), "data", tiled=True
             )
-            fg = jax.lax.all_gather(
-                accum_flat(0, nb, gidx_b_stk, vw_b, plan.r_big_pad),
-                "data", tiled=True,
+            fg_sec, gr_f, ridx_f = accum_flat(
+                0, nb, gidx_b_stk, vw_b, plan.r_big_pad, store_b
             )
+            if gr_f is not None:
+                qr_gr_parts.append(gr_f)
+                qr_ridx_parts.append(ridx_f)
+            fg = jax.lax.all_gather(fg_sec, "data", tiled=True)
             store_b2, acc_b2 = sparse_update(
                 opt, store_b, acc_b, fi, fg, lr, plan.r_big_pad,
                 impl=config.sparse_update_impl, interpret=interp,
@@ -632,10 +710,13 @@ def make_hybrid_accum_train_step(
             fi = jax.lax.all_gather(
                 gidx_s_stk.reshape(-1), "data", tiled=True
             )
-            fg = jax.lax.all_gather(
-                accum_flat(nb, plan.t_pad, gidx_s_stk, vw_s, plan.r_small_pad),
-                "data", tiled=True,
+            fg_sec, gr_f, ridx_f = accum_flat(
+                nb, plan.t_pad, gidx_s_stk, vw_s, plan.r_small_pad, store_s
             )
+            if gr_f is not None:
+                qr_gr_parts.append(gr_f)
+                qr_ridx_parts.append(ridx_f)
+            fg = jax.lax.all_gather(fg_sec, "data", tiled=True)
             store_s2, acc_s2 = sparse_update(
                 opt, store_s, acc_s, fi, fg, lr, plan.r_small_pad,
                 impl=config.sparse_update_impl, interpret=interp,
@@ -652,6 +733,29 @@ def make_hybrid_accum_train_step(
             else:
                 new_state["emb"] = acc_b2[None]
                 new_state["emb_small"] = acc_s2[None]
+
+        if has_qr and qr_gr_parts:
+            ridx_flat = jnp.concatenate(qr_ridx_parts)
+            gr_flat = jnp.concatenate(qr_gr_parts)
+            dense_gr = jnp.zeros(
+                (plan.qr_r_rows, plan.dim), store_b.dtype
+            ).at[ridx_flat].add(gr_flat, mode="drop")
+            dense_gr = jax.lax.psum(dense_gr, ("data", "model"))
+            qr_r = params["qr_r"]
+            if opt.name == "sgd":
+                new_params["qr_r"] = qr_r - lr * dense_gr
+            elif opt.name == "adagrad":
+                acc_r = opt_state["qr_r"] + dense_gr * dense_gr
+                new_state["qr_r"] = acc_r
+                new_params["qr_r"] = qr_r - lr * dense_gr / (
+                    jnp.sqrt(acc_r) + opt.eps
+                )
+            else:  # rwsadagrad
+                acc_r = opt_state["qr_r"] + jnp.mean(dense_gr * dense_gr, -1)
+                new_state["qr_r"] = acc_r
+                new_params["qr_r"] = qr_r - lr * dense_gr / (
+                    jnp.sqrt(acc_r) + opt.eps
+                )[:, None]
 
         if vw_b is not None and config.weighted_pooling == "learned":
             # accumulated v_W gradient: for every occurrence across ALL
@@ -731,6 +835,8 @@ def make_hybrid_accum_train_step(
     }
     if config.weighted_pooling is not None:
         pspecs["vw_small"] = P("model")
+    if has_qr:
+        pspecs["qr_r"] = P()
     if config.md_table_ids:
         pspecs["md_proj"] = [P()] * len(config.md_table_ids)
     sspecs = (
@@ -748,6 +854,7 @@ def make_hybrid_accum_train_step(
                 if config.weighted_pooling is not None
                 else {}
             ),
+            **({"qr_r": P()} if has_qr else {}),
             **(
                 {"md_proj": [P()] * len(config.md_table_ids)}
                 if config.md_table_ids

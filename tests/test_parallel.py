@@ -677,3 +677,58 @@ def test_hybrid_grad_accum_weighted_pooling(pooling, optname):
         p2, s2, loss = r.train_step(p2, s2, sb, it)
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("op,optname", [
+    ("mult", "sgd"), ("add", "rwsadagrad"),
+    ("mult", "adagrad"), ("concat", "sgd"),
+])
+def test_hybrid_grad_accum_qr(op, optname):
+    """--mlperf-grad-accum-iter composes with QR tables on the hybrid mesh
+    (quotient sharded / remainder replicated for mult-add; pseudo-table
+    slots for concat): matches the single-device accumulation step."""
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+    from dlrm_yx_tpu.train.train_step import make_accum_train_step
+
+    n_accum = 2
+    # 500/300/700 QR (3 tables, 2 slots each under concat) + 1 regular + dense
+    f = (3 * (2 if op == "concat" else 1)) + 1 + 1
+    cfg = DLRMConfig(
+        emb_rows=(500, 300, 40, 700),
+        ln_bot=(4, 8, 4),
+        ln_top=(f * (f - 1) // 2 + 4, 8, 1),
+        qr_flag=True, qr_threshold=200, qr_collisions=4, qr_operation=op,
+    )
+    opt = OptConfig(optname, 0.1)
+    seed = 5
+    micros = _make_batches(cfg, n_batches=4, b=8, l=2, seed=19)
+
+    params1 = init_dlrm(cfg, seed=seed)
+    s1 = init_s(opt, params1, model_groups(cfg))
+    step1 = make_accum_train_step(cfg, opt, n_accum)
+    losses1, p1 = [], params1
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            jnp.stack([jnp.asarray(getattr(b, f_)) for b in group])
+            for f_ in Batch._fields
+        ])
+        p1, s1, loss = step1(p1, s1, stacked, it)
+        losses1.append(float(loss))
+
+    r = HybridRunner(cfg, opt, data=2, model=2, seed=seed,
+                     n_accum=n_accum, sharder="naive")
+    p2, s2 = r.params, r.opt_state
+    losses2 = []
+    for it in range(2):
+        group = micros[it * n_accum : (it + 1) * n_accum]
+        stacked = Batch(*[
+            np.stack([np.asarray(getattr(b, f_)) for b in group])
+            for f_ in Batch._fields
+        ])
+        sb = r.prepare_batch(stacked)
+        p2, s2, loss = r.train_step(p2, s2, sb, it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
