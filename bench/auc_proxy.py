@@ -189,6 +189,65 @@ def run_proxy_mesh(
     return curve
 
 
+def run_proxy_compression(steps=800, n_eval=16):
+    """Held-out-AUC with QR- and MD-compressed tables vs plain tables:
+    the compression tricks must preserve learnability (the claim of the
+    reference's tricks/, arXiv:1909.02107 / 1909.11810). Prints one AUC
+    curve per variant; returns {variant: final_auc}."""
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.metrics import roc_auc_exact
+    from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
+
+    cfg0, train_b, eval_b = build_proxy_batches(n_eval=n_eval)
+    variants = {
+        "plain": cfg0,
+        # tables 4000/1200 -> quotient ~1000/300 + remainder 4 (16x fewer
+        # embedding params on the compressed tables)
+        "qr_mult": dataclasses.replace(
+            cfg0, qr_flag=True, qr_threshold=1000, qr_collisions=4,
+            qr_operation="mult",
+        ),
+        # md: the two big tables store dim 16 with an up-projection to 32
+        "md": dataclasses.replace(
+            cfg0, md_flag=True, md_threshold=1000,
+            emb_dims=(16, 16, 32),
+        ),
+    }
+    finals = {}
+    for tag, cfg in variants.items():
+        params = init_dlrm(cfg, seed=7)
+        opt = OptConfig("rwsadagrad", 0.05)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        ev = make_eval_step(cfg)
+
+        def eval_auc(params, ev=ev):
+            scores, targets = [], []
+            for b in eval_b:
+                preds, _ = ev(params, Batch(*map(jnp.asarray, b)))
+                scores.append(np.asarray(preds).ravel())
+                targets.append(np.asarray(b.labels).ravel())
+            return float(
+                roc_auc_exact(np.concatenate(scores), np.concatenate(targets))
+            )
+
+        curve = [(0, eval_auc(params))]
+        for i in range(steps):
+            params, st, _ = step(
+                params, st,
+                Batch(*map(jnp.asarray, train_b[i % len(train_b)])), i,
+            )
+            if (i + 1) % max(1, steps // 8) == 0:
+                curve.append((i + 1, eval_auc(params)))
+        finals[tag] = curve[-1][1]
+        print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
+    return finals
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
@@ -197,6 +256,19 @@ def main():
     shard_modes = [
         f.split("=", 1)[1] for f in flags if f.startswith("--shard-mode=")
     ]
+    if "--compression" in flags:
+        # accuracy-only evidence: run on the CPU backend so it works
+        # while the TPU tunnel is down (and in CI)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        finals = run_proxy_compression(steps, n_eval)
+        ok = all(v > 0.7 for v in finals.values())
+        print(json.dumps({
+            "verdict": "ok" if ok else "FAIL",
+            "final_auc": finals, "threshold": 0.7,
+        }))
+        return 0 if ok else 1
     if shard_modes:
         # mesh-mode proxy: run each requested sharding on an 8-virtual-CPU
         # mesh and compare against the single-device fp32 curve
