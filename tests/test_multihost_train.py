@@ -77,6 +77,25 @@ _WORKER = textwrap.dedent(
         losses2.append(float(loss))
 
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+    # row-sharded path: tables span BOTH processes; psum_scatter completes
+    # partial pooled sums across the process boundary
+    from dlrm_yx_tpu.parallel.row_sharded import (
+        init_row_sharded_opt_state, init_row_sharded_params, make_row_plan,
+        make_row_sharded_train_step, shard_row_batch, shard_row_params,
+    )
+
+    rplan = make_row_plan(cfg, n_model=2)
+    rp = init_row_sharded_params(cfg, rplan, seed=seed)
+    rs = init_row_sharded_opt_state(opt, rp, rplan)
+    rp, rs = shard_row_params(mesh, rp, opt, rs)
+    rstep = make_row_sharded_train_step(cfg, rplan, opt, mesh)
+    losses3 = []
+    for it, b in enumerate(batches):
+        sb = shard_row_batch(mesh, Batch(*map(jnp.asarray, b)))
+        rp, rs, loss = rstep(rp, rs, sb, it)
+        losses3.append(float(loss))
+    np.testing.assert_allclose(losses1, losses3, rtol=1e-5, atol=1e-6)
     print(f"worker {pid} losses {losses2} ok", flush=True)
     """
 )
