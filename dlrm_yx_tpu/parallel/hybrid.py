@@ -133,8 +133,12 @@ def init_hybrid_params(
 
     vw = vw_small = None
     if config.weighted_pooling is not None:
-        if config.qr_table_ids:
-            raise NotImplementedError("weighted pooling with QR tables")
+        if config.qr_table_ids and config.weighted_pooling == "learned":
+            # learned per-row weights for a QR slot would train at
+            # quotient-row granularity, not the original table's rows —
+            # semantics the reference doesn't define; fixed mode is the
+            # identity (ones) and composes fine
+            raise NotImplementedError("learned weighted pooling with QR tables")
         # v_W = ones per real row (dlrm_s_pytorch.py:313-316), zero padding
         vw = np.zeros((plan.n_model, plan.r_big_pad), np.float32)
         vw_small = np.zeros((plan.n_model, plan.r_small_pad), np.float32)

@@ -732,3 +732,39 @@ def test_hybrid_grad_accum_qr(op, optname):
         p2, s2, loss = r.train_step(p2, s2, sb, it)
         losses2.append(float(loss))
     np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_qr_with_fixed_weighted_pooling():
+    """fixed v_W (identity ones) composes with QR tables on the hybrid
+    mesh — matches the single-device path (the reference passes
+    per_sample_weights into QREmbeddingBag, dlrm_s_pytorch.py:545-548)."""
+    import dataclasses
+
+    from dlrm_yx_tpu.models.dlrm import model_groups
+    from dlrm_yx_tpu.optim.optimizer import init_opt_state as init_s
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    cfg = DLRMConfig(
+        emb_rows=(500, 300, 40, 700),
+        ln_bot=(4, 8, 4),
+        ln_top=(5 * 4 // 2 + 4, 8, 1),
+        qr_flag=True, qr_threshold=200, qr_collisions=4, qr_operation="mult",
+        weighted_pooling="fixed",
+    )
+    opt = OptConfig("rwsadagrad", 0.1)
+    batches = _make_batches(cfg, n_batches=3, b=8, l=2, seed=19)
+    p1 = init_dlrm(cfg, seed=5)
+    s1 = init_s(opt, p1, model_groups(cfg))
+    step1 = make_train_step(cfg, opt)
+    losses1 = []
+    for it, b in enumerate(batches):
+        p1, s1, loss = step1(p1, s1, Batch(*map(jnp.asarray, b)), it)
+        losses1.append(float(loss))
+
+    r = HybridRunner(cfg, opt, data=2, model=2, seed=5, sharder="naive")
+    p2, s2 = r.params, r.opt_state
+    losses2 = []
+    for it, b in enumerate(batches):
+        p2, s2, loss = r.train_step(p2, s2, r.prepare_batch(b), it)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-5, atol=1e-6)
