@@ -256,10 +256,18 @@ def config_from_args(args) -> DLRMConfig:
         prefix = args.processed_data_file or args.raw_data_file
         cf = f"{prefix}_fea_count.npz" if prefix else ""
         if cf and os.path.exists(cf):
+            flag_rows = rows
             with np.load(cf) as d:
                 rows = [int(n) for n in d["counts"]]
             if args.max_ind_range > 0:
                 rows = [min(n, args.max_ind_range) for n in rows]
+            if flag_rows not in ([], rows) and "--arch-embedding-size" in (
+                sys.argv
+            ):
+                rank0_print(
+                    f"note: dataset feature counts override "
+                    f"--arch-embedding-size ({len(rows)} tables from {cf})"
+                )
     emb_dims = (args.arch_sparse_feature_size,) * len(rows)
     if args.md_flag:
         from dlrm_yx_tpu.ops.md_embedding import md_solver
