@@ -52,7 +52,7 @@ params = {
     "vw": None,
 }
 opt = OptConfig("rwsadagrad", 0.01)
-state = init_col_sharded_opt_state(opt, params)
+state = init_col_sharded_opt_state(opt, params, plan)
 params, state = shard_col_params(mesh, params, opt, state)
 step = make_col_sharded_train_step(cfg, plan, opt, mesh)
 

@@ -6,7 +6,12 @@ placement (parallel/hybrid.py) — together the three cover the north-star
 intra-table sharding at all (whole-table only, SURVEY.md §5).
 
 Layout: every table keeps all rows on every model shard, but only a
-``D / n_model`` column slice: store ``[n_model, total_rows, d_local]``.
+``D / n_model`` column slice. Sub-128 slices live PACKED —
+``[n_model, total_rows/pack, 128]`` with pack = 128/d_local logical rows
+per physical row (round-3: the narrow ``[R, d_local]`` form took a
+lane-padded T(8,128) layout and a ~3.8 ms full-store XLA rewrite per
+update at bench shapes; the packed form gathers/scatters 128-wide
+lane-placed rows like the row-sharded path).
 
 Dataflow per step (shard_map over ("data", "model")):
   * indices are replicated over "model" (each shard pools its column slice
@@ -63,6 +68,19 @@ class ColShardPlan:
     rows: tuple
     row_offsets: tuple
     total_rows: int
+    # sub-128 column slices live PACKED: pack = 128/d_local logical rows
+    # per physical [*, 128] store row (a narrow [R, d_local] f32 array
+    # would take a lane-padded T(8,128) layout AND push every update
+    # through an XLA full-store rewrite — the round-2 layout rules)
+    pack: int = 1
+
+    @property
+    def store_rows(self) -> int:
+        return self.total_rows // self.pack
+
+    @property
+    def store_width(self) -> int:
+        return self.d_local * self.pack
 
 
 def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
@@ -73,9 +91,9 @@ def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
         import warnings
 
         warnings.warn(
-            "col-sharded mode applies sparse updates with the XLA path; "
-            "--sparse-update-impl=pallas is ignored here (column shards are "
-            "d_local-wide, below the kernel's lane width)",
+            "col-sharded mode applies sparse updates with the XLA "
+            "scatter path; --sparse-update-impl=pallas is ignored here "
+            "(per-slice update volume is small once slices are packed)",
             stacklevel=2,
         )
     dims = set(config.emb_dims)
@@ -84,32 +102,42 @@ def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
     dim = dims.pop()
     if dim % n_model:
         raise ValueError(f"dim {dim} not divisible by n_model {n_model}")
+    d_local = dim // n_model
+    pack = 128 // d_local if d_local < 128 and 128 % d_local == 0 else 1
+    align = max(ROW_ALIGN, pack)
     offsets, cur = [], 0
     for n in config.emb_rows:
         offsets.append(cur)
-        cur += _round_up(n, ROW_ALIGN)
+        cur += _round_up(n, align)
     return ColShardPlan(
         n_model=n_model,
         dim=dim,
-        d_local=dim // n_model,
+        d_local=d_local,
         rows=tuple(config.emb_rows),
         row_offsets=tuple(offsets),
         total_rows=cur,
+        pack=pack,
     )
 
 
 def build_col_sharded_emb(plan: ColShardPlan, per_table) -> np.ndarray:
-    """[n_model, total_rows, d_local] from per-canonical-table weights."""
+    """[n_model, store_rows, 128] packed stores from per-canonical-table
+    weights (pack == 1 keeps [n_model, total_rows, d_local])."""
     flat = np.zeros((plan.total_rows, plan.dim), np.float32)
     for t, w in enumerate(per_table):
         off = plan.row_offsets[t]
         flat[off : off + w.shape[0]] = np.asarray(w)
     parts = flat.reshape(plan.total_rows, plan.n_model, plan.d_local)
-    return np.ascontiguousarray(np.transpose(parts, (1, 0, 2)))
+    sliced = np.ascontiguousarray(np.transpose(parts, (1, 0, 2)))
+    # pack sub-128 slices: [R, d_local] -> [R/pack, 128] (row-major)
+    return sliced.reshape(plan.n_model, plan.store_rows, plan.store_width)
 
 
 def extract_col_sharded_tables(plan: ColShardPlan, emb: np.ndarray):
-    flat = np.transpose(np.asarray(emb), (1, 0, 2)).reshape(
+    unpacked = np.asarray(emb).reshape(
+        plan.n_model, plan.total_rows, plan.d_local
+    )
+    flat = np.transpose(unpacked, (1, 0, 2)).reshape(
         plan.total_rows, plan.dim
     )
     return [
@@ -145,7 +173,9 @@ def init_col_sharded_params(
     }
 
 
-def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
+def init_col_sharded_opt_state(
+    opt: OptConfig, params: Dict, plan: Optional[ColShardPlan] = None
+) -> Dict:
     if opt.name == "sgd":
         return {}
     dense = {
@@ -153,15 +183,14 @@ def init_col_sharded_opt_state(opt: OptConfig, params: Dict) -> Dict:
         for k in ("bot", "top")
     }
     emb = params["emb"]
-    # rwsadagrad: per-row accumulator REPLICATED per shard (identical values
-    # maintained by the psum'd update); adagrad: per-element, local slice.
-    # The per-row form is carried 2-D as [ceil(R/128), 128] per shard — a
-    # [1, R] shard_map boundary value takes a T(1,128) layout and pays
-    # chunked relayout while-loops every step (see parallel/hybrid.py)
+    # rwsadagrad: per-LOGICAL-row accumulator REPLICATED per shard
+    # (identical values maintained by the psum'd update); adagrad:
+    # per-element, local slice (the packed store's shape)
     if opt.name == "adagrad":
         acc = jnp.zeros_like(emb)
     else:
-        n128 = (emb.shape[1] + 127) // 128 * 128
+        logical_rows = plan.total_rows if plan is not None else emb.shape[1]
+        n128 = (logical_rows + 127) // 128 * 128
         # round 3: FLAT per shard (see row_sharded) — avoids the T(1,128)
         # boundary layout on the size-1 shard axis
         acc = jnp.zeros((emb.shape[0] * n128,), jnp.float32)
@@ -206,12 +235,24 @@ def shard_col_batch(mesh: Mesh, batch: Batch) -> Batch:
 
 
 def _local_pooled(store, plan: ColShardPlan, gid, weights, vw=None):
-    """Returns (pooled [T,B,d_local], effective weights, gathered rows)."""
+    """Returns (pooled [T,B,d_local], effective weights, gathered PHYSICAL
+    rows [T,B,L,store_width], lane-block mask or None when pack == 1)."""
     t, b, l = gid.shape
     safe = jnp.minimum(gid, plan.total_rows - 1)
     w = weights
     if vw is not None:
         w = w * jnp.take(vw, safe.reshape(-1)).reshape(t, b, l)
+    if plan.pack > 1:
+        # packed slice: gather physical rows, mask each contribution to
+        # its lane block, pool, fold blocks (ops/embedding.lookup_group)
+        width = plan.store_width
+        rows = jnp.take(store, (safe // plan.pack).reshape(-1), axis=0
+                        ).reshape(t, b, l, width)
+        blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // plan.d_local
+        mask = blk[None, None, None, :] == (safe % plan.pack)[..., None]
+        pooled128 = jnp.sum(jnp.where(mask, rows, 0.0) * w[..., None], axis=2)
+        pooled = pooled128.reshape(t, b, plan.pack, plan.d_local).sum(axis=2)
+        return pooled, w, rows, mask
     rows = jnp.take(store, safe.reshape(-1), axis=0).reshape(
         t, b, l, plan.d_local
     )
@@ -219,7 +260,21 @@ def _local_pooled(store, plan: ColShardPlan, gid, weights, vw=None):
         pooled = rows[:, :, 0, :] * w[:, :, 0][..., None]
     else:
         pooled = jnp.sum(w[..., None] * rows, axis=2)
-    return pooled, w, rows
+    return pooled, w, rows, None
+
+
+def _lane_place(plan: ColShardPlan, gid, w, g_pooled):
+    """[T,B,d_local] pooled cotangent -> per-occurrence update rows
+    [T,B,L,store_width]: weighted rows lane-placed in each logical row's
+    block (identity when pack == 1)."""
+    if plan.pack == 1:
+        return w[..., None] * g_pooled[:, :, None, :]
+    width = plan.store_width
+    safe = jnp.minimum(gid, plan.total_rows - 1)
+    blk = jax.lax.broadcasted_iota(jnp.int32, (width,), 0) // plan.d_local
+    mask = blk[None, None, None, :] == (safe % plan.pack)[..., None]
+    g128 = jnp.tile(g_pooled, (1, 1, plan.pack))[:, :, None, :]
+    return jnp.where(mask, w[..., None] * g128, 0.0)
 
 
 def make_col_sharded_train_step(
@@ -243,7 +298,7 @@ def make_col_sharded_train_step(
             acc = None
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
-        pooled_local, w_eff, row_vals = _local_pooled(
+        pooled_local, w_eff, row_vals, blk_mask = _local_pooled(
             store, plan, gid, batch.weights, vw
         )
 
@@ -294,27 +349,38 @@ def make_col_sharded_train_step(
             new_state["dense"] = dict(new_state["dense"])
             new_state["dense"].update({k: ds_new[k] for k in ("bot", "top")})
 
-        # sparse updates on the local column slice; fold batch over "data"
+        # sparse updates on the local column slice; fold batch over "data".
+        # Packed slices emit LANE-PLACED update rows (each contribution in
+        # its logical row's lane block, zeros elsewhere) and scatter at
+        # PHYSICAL row ids — logical rows sharing a physical row occupy
+        # disjoint blocks, so scatter-add stays exact
         t, bd, l = batch.indices.shape
         flat_idx = gid.reshape(t * bd * l)
-        flat_g = (w_eff[..., None] * g_pooled[:, :, None, :]).reshape(
-            t * bd * l, plan.d_local
+        flat_g = _lane_place(plan, gid, w_eff, g_pooled).reshape(
+            t * bd * l, plan.store_width
         )
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        pk = plan.pack
         if opt.name == "sgd":
-            store2 = store.at[flat_idx].add(-lr * flat_g, mode="drop")
+            store2 = store.at[flat_idx // pk].add(-lr * flat_g, mode="drop")
             acc2 = acc
         else:
             uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
             if opt.name == "adagrad":
-                acc2 = acc.at[uniq].add(sg * sg, mode="drop")
+                acc2 = acc.at[uniq // pk].add(sg * sg, mode="drop")
                 denom = (
-                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    jnp.sqrt(
+                        acc2.at[uniq // pk].get(mode="fill", fill_value=1.0)
+                    )
                     + opt.eps
                 )
-                store2 = store.at[uniq].add(-lr * sg / denom, mode="drop")
+                store2 = store.at[uniq // pk].add(
+                    -lr * sg / denom, mode="drop"
+                )
             else:  # rwsadagrad: full-width row norm via psum over "model"
+                # off-block lanes are zero, so the 128-lane sum IS the
+                # logical row's sum; momentum stays per LOGICAL row
                 sq = jnp.sum(sg * sg, axis=-1)
                 sq = jax.lax.psum(sq, "model") / plan.dim
                 acc2 = acc.at[uniq].add(sq, mode="drop")
@@ -322,7 +388,7 @@ def make_col_sharded_train_step(
                     jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
                     + opt.eps
                 )
-                store2 = store.at[uniq].add(
+                store2 = store.at[uniq // pk].add(
                     -lr * sg / denom[:, None], mode="drop"
                 )
         new_params["emb"] = store2[None]
@@ -338,10 +404,14 @@ def make_col_sharded_train_step(
             # on every shard
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
 
-            gv = (
-                jnp.sum(row_vals * g_pooled[:, :, None, :], axis=-1)
-                * batch.weights
-            ).reshape(t * bd * l)
+            if blk_mask is not None:
+                g128 = jnp.tile(g_pooled, (1, 1, plan.pack))[:, :, None, :]
+                dots = jnp.sum(
+                    jnp.where(blk_mask, row_vals * g128, 0.0), axis=-1
+                )
+            else:
+                dots = jnp.sum(row_vals * g_pooled[:, :, None, :], axis=-1)
+            gv = (dots * batch.weights).reshape(t * bd * l)
             gv = jax.lax.psum(gv, "model")
             vidx = jnp.where(
                 gid.reshape(-1) < plan.total_rows, gid.reshape(-1),
@@ -431,7 +501,7 @@ def make_col_sharded_accum_train_step(
             g_sum, loss_sum = carry
             batch = Batch(*b)
             gid = batch.indices + jnp.asarray(offs)[:, None, None]
-            pooled_local, _, _ = _local_pooled(
+            pooled_local, _, _, _ = _local_pooled(
                 store, plan, gid, batch.weights, vw
             )
             bsz_global = batch.labels.shape[0] * n_total
@@ -494,23 +564,44 @@ def make_col_sharded_accum_train_step(
             wt = wt * jnp.take(vw, safe_stk.reshape(-1)).reshape(
                 safe_stk.shape
             )
-        flat_g = (
-            wt[..., None] * g_pooled_stk[:, :, :, None, :]
-        ).reshape(-1, plan.d_local)
+        if plan.pack > 1:
+            width = plan.store_width
+            blk = (
+                jax.lax.broadcasted_iota(jnp.int32, (width,), 0)
+                // plan.d_local
+            )
+            lmask = blk[None, None, None, None, :] == (
+                safe_stk % plan.pack
+            )[..., None]
+            g128 = jnp.tile(
+                g_pooled_stk, (1, 1, 1, plan.pack)
+            )[:, :, :, None, :]
+            flat_g = jnp.where(
+                lmask, wt[..., None] * g128, 0.0
+            ).reshape(-1, width)
+        else:
+            flat_g = (
+                wt[..., None] * g_pooled_stk[:, :, :, None, :]
+            ).reshape(-1, plan.d_local)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
+        pk = plan.pack
         if opt.name == "sgd":
-            store2 = store.at[flat_idx].add(-lr * flat_g, mode="drop")
+            store2 = store.at[flat_idx // pk].add(-lr * flat_g, mode="drop")
             acc2 = acc
         else:
             uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
             if opt.name == "adagrad":
-                acc2 = acc.at[uniq].add(sg * sg, mode="drop")
+                acc2 = acc.at[uniq // pk].add(sg * sg, mode="drop")
                 denom = (
-                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
+                    jnp.sqrt(
+                        acc2.at[uniq // pk].get(mode="fill", fill_value=1.0)
+                    )
                     + opt.eps
                 )
-                store2 = store.at[uniq].add(-lr * sg / denom, mode="drop")
+                store2 = store.at[uniq // pk].add(
+                    -lr * sg / denom, mode="drop"
+                )
             else:  # rwsadagrad: full-width row norm via psum over "model"
                 sq = jnp.sum(sg * sg, axis=-1)
                 sq = jax.lax.psum(sq, "model") / plan.dim
@@ -519,7 +610,7 @@ def make_col_sharded_accum_train_step(
                     jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
                     + opt.eps
                 )
-                store2 = store.at[uniq].add(
+                store2 = store.at[uniq // pk].add(
                     -lr * sg / denom[:, None], mode="drop"
                 )
         new_params["emb"] = store2[None]
@@ -536,13 +627,20 @@ def make_col_sharded_accum_train_step(
             # identical on every shard
             from dlrm_yx_tpu.optim.optimizer import sparse_update_1d
 
-            rows = jnp.take(
-                store, safe_stk.reshape(-1), axis=0
-            ).reshape(*safe_stk.shape, plan.d_local)
-            gv = (
-                jnp.sum(rows * g_pooled_stk[:, :, :, None, :], axis=-1)
-                * batches.weights
-            ).reshape(-1)
+            if plan.pack > 1:
+                rows = jnp.take(
+                    store, (safe_stk // plan.pack).reshape(-1), axis=0
+                ).reshape(*safe_stk.shape, plan.store_width)
+                # lmask/g128 from the update branch above
+                dots = jnp.sum(jnp.where(lmask, rows * g128, 0.0), axis=-1)
+            else:
+                rows = jnp.take(
+                    store, safe_stk.reshape(-1), axis=0
+                ).reshape(*safe_stk.shape, plan.d_local)
+                dots = jnp.sum(
+                    rows * g_pooled_stk[:, :, :, None, :], axis=-1
+                )
+            gv = (dots * batches.weights).reshape(-1)
             gv = jax.lax.psum(gv, "model")
             vidx = jnp.where(
                 gid_stk.reshape(-1) < plan.total_rows,
@@ -605,7 +703,7 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
         store = params["emb"][0]
         gid = batch.indices + jnp.asarray(offs)[:, None, None]
         vw = params.get("vw")
-        pooled_local, _, _ = _local_pooled(
+        pooled_local, _, _, _ = _local_pooled(
             store, plan, gid, batch.weights, vw
         )
         ly_full = jax.lax.all_to_all(
@@ -666,7 +764,7 @@ class ColShardedRunner:
         self.mesh = make_mesh(data, model)
         self.plan = make_col_plan(config, self.mesh.shape["model"])
         params = init_col_sharded_params(config, self.plan, seed)
-        state = init_col_sharded_opt_state(opt, params)
+        state = init_col_sharded_opt_state(opt, params, self.plan)
         self.params, self.opt_state = shard_col_params(
             self.mesh, params, opt, state
         )

@@ -59,7 +59,9 @@ def test_col_sharded_emb_roundtrip():
     rng = np.random.RandomState(0)
     tables = [rng.randn(n, 8).astype(np.float32) for n in cfg.emb_rows]
     emb = build_col_sharded_emb(plan, tables)
-    assert emb.shape == (4, plan.total_rows, 2)
+    # d_local=2 column slices live packed 64 logical rows / [*,128] row
+    assert plan.pack == 64
+    assert emb.shape == (4, plan.store_rows, 128)
     back = extract_col_sharded_tables(plan, emb)
     for a, b in zip(tables, back):
         np.testing.assert_array_equal(a, b)
@@ -92,7 +94,7 @@ def test_col_sharded_matches_single_device(mesh_shape, optname):
     mesh = make_mesh(data, model)
     plan = make_col_plan(cfg, n_model=model)
     p2 = init_col_sharded_params(cfg, plan, seed=seed)
-    s2 = init_col_sharded_opt_state(opt, p2)
+    s2 = init_col_sharded_opt_state(opt, p2, plan)
     p2, s2 = shard_col_params(mesh, p2, opt, s2)
     step2 = make_col_sharded_train_step(cfg, plan, opt, mesh)
     losses2 = []
