@@ -74,12 +74,11 @@ def _fwd_kernel(t_ref, x_ref, sel_ref, li_ref, out_ref, *, d: int,
     zflat = jnp.sum(
         jnp.where(keep, zp, 0.0).reshape(bb, f_pad, p_pad), axis=1
     )  # [bb, p_pad]
-    out = jnp.zeros((bb, out_pad), jnp.float32)
-    out = jax.lax.dynamic_update_slice(
-        out, x_ref[:].astype(jnp.float32), (0, 0)
+    # out_pad == d + p_pad exactly, so one concat fills the block (static
+    # slice writes / dynamic_update_slice don't lower on all Mosaic versions)
+    out_ref[:] = jnp.concatenate(
+        [x_ref[:].astype(jnp.float32), zflat], axis=1
     )
-    out = jax.lax.dynamic_update_slice(out, zflat, (0, d))
-    out_ref[:] = out
 
 
 def fused_interaction_fwd(

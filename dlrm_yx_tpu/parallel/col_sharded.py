@@ -87,15 +87,6 @@ def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
     from dlrm_yx_tpu.parallel.row_sharded import _reject_unsupported_variants
 
     _reject_unsupported_variants(config, "col")
-    if config.sparse_update_impl == "pallas":
-        import warnings
-
-        warnings.warn(
-            "col-sharded mode applies sparse updates with the XLA "
-            "scatter path; --sparse-update-impl=pallas is ignored here "
-            "(per-slice update volume is small once slices are packed)",
-            stacklevel=2,
-        )
     dims = set(config.emb_dims)
     if len(dims) != 1:
         raise ValueError("col-sharded plan requires homogeneous table dims")
@@ -109,15 +100,110 @@ def make_col_plan(config: DLRMConfig, n_model: int) -> ColShardPlan:
     for n in config.emb_rows:
         offsets.append(cur)
         cur += _round_up(n, align)
+    # dead sentinel tail (one full kernel transfer unit) so the pallas
+    # row-RMW kernel can apply the slice updates (ops/pallas_sparse_update
+    # requires it); indices never reach these rows
+    from dlrm_yx_tpu.ops.embedding import SENTINEL_ROWS
+
     return ColShardPlan(
         n_model=n_model,
         dim=dim,
         d_local=d_local,
         rows=tuple(config.emb_rows),
         row_offsets=tuple(offsets),
-        total_rows=cur,
+        total_rows=cur + SENTINEL_ROWS * pack,
         pack=pack,
     )
+
+
+def _sparse_slice_update(
+    plan: ColShardPlan,
+    config: DLRMConfig,
+    opt: OptConfig,
+    store: jax.Array,
+    acc,
+    flat_idx: jax.Array,
+    flat_g: jax.Array,
+    lr,
+):
+    """Sparse update of the local column slice (+ optimizer state).
+
+    flat_idx: [K] LOGICAL row ids (>= plan.total_rows = padding);
+    flat_g: [K, store_width] lane-placed physical gradient rows.
+
+    The store scatter routes through the pallas row-RMW kernel when
+    eligible: XLA's scatter-add into a multi-GB [R, 128] store compiles to
+    a full-store rewrite (~3.8 ms at bench shapes, MEASUREMENTS.md round
+    3); the kernel touches only the updated rows. The [K]-operand
+    optimizer math stays XLA (cheap). Duplicates are coalesced first —
+    grad.coalesce() momentum semantics (rwsadagrad.py:98), and coalescing
+    leaves pack-sharing as the kernel's only conflict source.
+    """
+    from dlrm_yx_tpu.optim.optimizer import (
+        DENSE_ACCUM_FACTOR,
+        PALLAS_MIN_STORE_BYTES,
+        _store_bytes,
+    )
+
+    pk = plan.pack
+    kern = (
+        config.sparse_update_impl in ("pallas", "stream")
+        and store.dtype == jnp.float32
+        and (
+            (pk == 1 and plan.store_width % 128 == 0)
+            or (pk > 1 and plan.store_width == 128)
+        )
+        and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
+        and flat_idx.shape[0] * DENSE_ACCUM_FACTOR < store.shape[0]
+    )
+
+    def kernel_add(arr, uniq, vals):
+        from dlrm_yx_tpu.ops import pallas_sparse_update as psu
+
+        return psu.sparse_rows_add(
+            arr,
+            uniq,
+            vals,
+            (uniq < plan.total_rows).astype(jnp.int32),
+            interpret=jax.default_backend() != "tpu",
+            dim=plan.d_local if pk > 1 else None,
+        )
+
+    if opt.name == "sgd":
+        if not kern:
+            return store.at[flat_idx // pk].add(-lr * flat_g, mode="drop"), acc
+        uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
+        return kernel_add(store, uniq, -lr * sg), acc
+
+    uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
+    if opt.name == "adagrad":
+        gsq = sg * sg
+        acc2 = (
+            kernel_add(acc, uniq, gsq)
+            if kern
+            else acc.at[uniq // pk].add(gsq, mode="drop")
+        )
+        denom = (
+            jnp.sqrt(acc2.at[uniq // pk].get(mode="fill", fill_value=1.0))
+            + opt.eps
+        )
+        # off-block lanes of sg are zero, so the per-element divide only
+        # moves the logical row's block
+        delta = -lr * sg / denom
+    else:  # rwsadagrad: full-width row norm via psum over "model"
+        sq = jnp.sum(sg * sg, axis=-1)
+        sq = jax.lax.psum(sq, "model") / plan.dim
+        acc2 = acc.at[uniq].add(sq, mode="drop")
+        denom = (
+            jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0)) + opt.eps
+        )
+        delta = -lr * sg / denom[:, None]
+    store2 = (
+        kernel_add(store, uniq, delta)
+        if kern
+        else store.at[uniq // pk].add(delta, mode="drop")
+    )
+    return store2, acc2
 
 
 def build_col_sharded_emb(plan: ColShardPlan, per_table) -> np.ndarray:
@@ -361,36 +447,9 @@ def make_col_sharded_train_step(
         )
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
-        pk = plan.pack
-        if opt.name == "sgd":
-            store2 = store.at[flat_idx // pk].add(-lr * flat_g, mode="drop")
-            acc2 = acc
-        else:
-            uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
-            if opt.name == "adagrad":
-                acc2 = acc.at[uniq // pk].add(sg * sg, mode="drop")
-                denom = (
-                    jnp.sqrt(
-                        acc2.at[uniq // pk].get(mode="fill", fill_value=1.0)
-                    )
-                    + opt.eps
-                )
-                store2 = store.at[uniq // pk].add(
-                    -lr * sg / denom, mode="drop"
-                )
-            else:  # rwsadagrad: full-width row norm via psum over "model"
-                # off-block lanes are zero, so the 128-lane sum IS the
-                # logical row's sum; momentum stays per LOGICAL row
-                sq = jnp.sum(sg * sg, axis=-1)
-                sq = jax.lax.psum(sq, "model") / plan.dim
-                acc2 = acc.at[uniq].add(sq, mode="drop")
-                denom = (
-                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
-                    + opt.eps
-                )
-                store2 = store.at[uniq // pk].add(
-                    -lr * sg / denom[:, None], mode="drop"
-                )
+        store2, acc2 = _sparse_slice_update(
+            plan, config, opt, store, acc, flat_idx, flat_g, lr
+        )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
@@ -585,34 +644,9 @@ def make_col_sharded_accum_train_step(
             ).reshape(-1, plan.d_local)
         flat_idx = jax.lax.all_gather(flat_idx, "data", tiled=True)
         flat_g = jax.lax.all_gather(flat_g, "data", tiled=True)
-        pk = plan.pack
-        if opt.name == "sgd":
-            store2 = store.at[flat_idx // pk].add(-lr * flat_g, mode="drop")
-            acc2 = acc
-        else:
-            uniq, sg = coalesce_rows(flat_idx, flat_g, plan.total_rows)
-            if opt.name == "adagrad":
-                acc2 = acc.at[uniq // pk].add(sg * sg, mode="drop")
-                denom = (
-                    jnp.sqrt(
-                        acc2.at[uniq // pk].get(mode="fill", fill_value=1.0)
-                    )
-                    + opt.eps
-                )
-                store2 = store.at[uniq // pk].add(
-                    -lr * sg / denom, mode="drop"
-                )
-            else:  # rwsadagrad: full-width row norm via psum over "model"
-                sq = jnp.sum(sg * sg, axis=-1)
-                sq = jax.lax.psum(sq, "model") / plan.dim
-                acc2 = acc.at[uniq].add(sq, mode="drop")
-                denom = (
-                    jnp.sqrt(acc2.at[uniq].get(mode="fill", fill_value=1.0))
-                    + opt.eps
-                )
-                store2 = store.at[uniq // pk].add(
-                    -lr * sg / denom[:, None], mode="drop"
-                )
+        store2, acc2 = _sparse_slice_update(
+            plan, config, opt, store, acc, flat_idx, flat_g, lr
+        )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
             if opt.name == "rwsadagrad":
