@@ -50,6 +50,13 @@ params = {
     "top": [(jnp.asarray(w), jnp.asarray(b)) for w, b in init_mlp(rng, cfg.ln_top)],
     "emb": draw(jax.random.PRNGKey(0), (1,) + plan.store_shape),
     "vw": None,
+    "vw_small": None,
+    # round 4: small tables live in a replicated TableGroup store
+    "emb_small": (
+        draw(jax.random.PRNGKey(1), plan.small_group.store_shape)
+        if plan.small_group is not None
+        else None
+    ),
 }
 opt = OptConfig("rwsadagrad", 0.01)
 state = init_row_sharded_opt_state(opt, params, plan)

@@ -657,9 +657,15 @@ def _gather_params(cfg, trainer):
     plan = runner.plan
     emb = np.asarray(trainer.params["emb"])
     if isinstance(plan, RowShardPlan):
-        tables = extract_row_sharded_tables(plan, emb)
+        es = trainer.params.get("emb_small")
+        tables = extract_row_sharded_tables(
+            plan, emb, np.asarray(es) if es is not None else None
+        )
     elif isinstance(plan, ColShardPlan):
-        tables = extract_col_sharded_tables(plan, emb)
+        es = trainer.params.get("emb_small")
+        tables = extract_col_sharded_tables(
+            plan, emb, np.asarray(es) if es is not None else None
+        )
     else:
         from dlrm_yx_tpu.parallel.plan import extract_tables
 

@@ -199,7 +199,10 @@ def test_row_sharded_pallas_impl_matches_xla():
         for it, b in enumerate(batches):
             p, s, loss = step(p, s, shard_row_batch(mesh, Batch(*map(jnp.asarray, b))), it)
             ls.append(float(loss))
-        results.append((ls, extract_row_sharded_tables(plan, np.asarray(p["emb"]))))
+        results.append((ls, extract_row_sharded_tables(
+            plan, np.asarray(p["emb"]),
+            np.asarray(p["emb_small"]) if p.get("emb_small") is not None else None,
+        )))
     np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5, atol=1e-6)
     for a, b in zip(results[0][1], results[1][1]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

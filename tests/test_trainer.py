@@ -145,6 +145,64 @@ def test_resume_continues_identically(tmp_path):
     )
 
 
+def test_resume_equivalence_composed(tmp_path):
+    """VERDICT round-3 item 10: train N steps -> trainer-saved checkpoint ->
+    resume M steps vs train N+M straight, through the REAL Trainer with
+    LR policy + gradient accumulation + periodic eval counters composed —
+    final params and metrics must match (the reference's skip-upto resume
+    contract, dlrm_s_pytorch.py:1698-1755,1838-1855)."""
+    cfg = DLRMConfig.tiny()
+    opt = OptConfig("rwsadagrad", lr=0.2)
+
+    def make(load=None, save=None):
+        pol = LRPolicy(base_lr=0.2, num_warmup_steps=2, decay_start_step=3,
+                       num_decay_steps=4)
+        tcfg = TrainerConfig(
+            print_freq=0, seed=3, test_freq=2, grad_accum_iter=2,
+            load_path=load or "", save_path=save or "",
+        )
+        return Trainer(cfg, opt, tcfg, lr_policy=pol)
+
+    batches = _batches(cfg, 12, seed=8)  # 6 accumulation steps of 2 micros
+    test_fn = lambda: _batches(cfg, 2, seed=9)  # noqa: E731
+
+    straight = make()
+    s_summary = straight.fit(batches, test_batches=test_fn)
+    assert straight.iteration == 6
+
+    ck = str(tmp_path / "best")
+    part = make(save=ck)
+    part.fit(batches, test_batches=test_fn)
+    assert os.path.exists(os.path.join(ck, "meta.json"))
+    import json
+
+    with open(os.path.join(ck, "meta.json")) as f:
+        saved_it = json.load(f)["iteration"]
+    assert 0 < saved_it <= 6  # trainer saved at a best-eval boundary
+
+    resumed = make(load=ck)
+    assert resumed.iteration == saved_it
+    r_summary = resumed.fit(batches, test_batches=test_fn)
+    assert resumed.iteration == 6
+    for k in ("emb", "bot", "top"):
+        np.testing.assert_allclose(
+            np.asarray(straight.params[k][0]
+                       if k == "emb" else straight.params[k][0][0]),
+            np.asarray(resumed.params[k][0]
+                       if k == "emb" else resumed.params[k][0][0]),
+            rtol=1e-6, atol=1e-7, err_msg=f"params[{k}] after resume",
+        )
+    # optimizer state continues identically too (momentum restored)
+    np.testing.assert_allclose(
+        np.asarray(straight.opt_state["emb"][0]),
+        np.asarray(resumed.opt_state["emb"][0]),
+        rtol=1e-6, atol=1e-7,
+    )
+    assert s_summary["accuracy"] == pytest.approx(
+        r_summary["accuracy"], abs=1e-9
+    )
+
+
 def test_eval_and_early_stop(tmp_path):
     trainer, cfg = _tiny_trainer(
         tmp_path,
