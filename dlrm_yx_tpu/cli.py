@@ -105,6 +105,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "use, so it only works via the CLI entry)")
     p.add_argument("--use-gpu", action="store_true", default=False,
                    help="accepted for compat; implies --use-tpu semantics")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="join a multi-process world via jax.distributed "
+                        "before building the mesh (reads COORDINATOR_ADDRESS/"
+                        "NUM_PROCESSES/PROCESS_ID or torchrun-style RANK/"
+                        "WORLD_SIZE envs; auto-enabled when "
+                        "COORDINATOR_ADDRESS is set — the launcher story of "
+                        "the reference's torchrun/mpirun recipe, "
+                        "README.md:340-348 there)")
     p.add_argument("--mesh-data", type=int, default=1,
                    help="data-parallel mesh axis size")
     p.add_argument("--mesh-model", type=int, default=0,
@@ -482,6 +490,17 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.force_cpu_devices)
+    if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
+        from dlrm_yx_tpu.parallel.multihost import init_multihost
+
+        pid, num = init_multihost()
+        if num > 1:
+            import jax
+
+            rank0_print(
+                f"multihost: process {pid}/{num}, "
+                f"{jax.device_count()} global devices"
+            )
     np.random.seed(args.numpy_rand_seed)
     cfg = config_from_args(args)
     opt = OptConfig(name=args.optimizer, lr=args.learning_rate)

@@ -310,6 +310,37 @@ def sparse_update(
     ):
         # small store OR dense update (high-L): dense-accumulate instead of
         # sort-based coalescing.
+        if (
+            impl in ("pallas", "stream")
+            and opt.name == "rwsadagrad"
+            and row_dim is None
+            and store.dtype == jnp.float32
+            and acc.ndim == 1
+            and (
+                (pack == 1 and d == width and width % 128 == 0)
+                or (pack > 1 and width == 128 and pack == dim_pack(d))
+            )
+            # K small relative to the store: the in-VMEM RMW accumulate
+            # (~7 ns/item) beats the XLA zeros+scatter pass; in the
+            # dense-by-density regime (high-L, K >= R) the sort and the
+            # per-item loop would dominate — keep the dense_g path there
+            and flat_idx.shape[0] * 2 <= store.shape[0]
+        ):
+            # fused scatter+finish (round 4): ONE streamed pallas pass
+            # accumulates the sorted per-occurrence updates in VMEM
+            # (exactly coalescing) and applies momentum + update — no
+            # dense_g materialization (the zeros+scatter was ~0.46 ms of
+            # the 0.71 ms small-store chain at the headline config)
+            from dlrm_yx_tpu.ops.pallas_dense_finish import (
+                rwsadagrad_scatter_finish,
+            )
+
+            order = jnp.argsort(punit)
+            return rwsadagrad_scatter_finish(
+                store, acc, jnp.take(punit, order),
+                jnp.take(flat_g, order, axis=0), lr, dim=d, eps=opt.eps,
+                interpret=interpret,
+            )
         # The scatter into a zero buffer IS the coalesced gradient (XLA's
         # full-store rewrite is cheap at this size and exact on duplicates);
         # untouched rows see zero grad, so the Adagrad-family update is a

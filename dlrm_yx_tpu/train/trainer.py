@@ -168,6 +168,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
 
+    @staticmethod
+    def _fetch(arr):
+        """Host value of a possibly cross-process jax.Array: eval preds come
+        back sharded over the whole ("data","model") mesh, which spans
+        processes under jax.distributed — gather the global value on every
+        host (the reference's ext_dist.all_gather of eval outputs,
+        dlrm_s_pytorch.py:1067-1069)."""
+        if getattr(arr, "is_fully_addressable", True):
+            return arr
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(arr, tiled=True)
+
     def evaluate(self, test_batches: Iterable[Batch]) -> dict:
         """inference() equivalent: streams eval batches, returns metric dict.
         With mlperf_logging: full recall/precision/f1/ap/roc_auc/accuracy
@@ -181,7 +194,7 @@ class Trainer:
         n_total = 0
         for b in test_batches:
             preds, _ = self.eval_step(self.params, self._prepare(b))
-            p = np.asarray(preds).ravel()
+            p = np.asarray(self._fetch(preds)).ravel()
             t = np.asarray(b.labels).ravel()
             n_correct += int(((p >= 0.5) == (t > 0.5)).sum())
             n_total += len(t)
