@@ -248,6 +248,115 @@ def run_proxy_compression(steps=800, n_eval=16):
     return finals
 
 
+def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
+    """VERDICT round-3 item 9: guard the approximation semantics at scale.
+
+    The FLAGSHIP 26-table Terabyte-MLPerf arch (row counts capped at
+    ind_cap so the run fits everywhere), trace-driven categorical streams,
+    hidden factor-model labels, held-out AUC — comparing:
+      * exact:        f32 stores, XLA updates (coalesce-exact momentum);
+      * fast:         f32 stores, pallas updates (write-only + kernel-path
+                      per-occurrence momentum — the shipped default);
+      * fast_bf16_sr: bf16 stores + stochastic rounding + pallas (the
+                      capacity config).
+    Prints one AUC curve per config and the final gap summary. The
+    defaults-stay-defaults criterion: |fast - exact| <= 0.002 final AUC.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from dlrm_yx_tpu.config import DLRMConfig
+    from dlrm_yx_tpu.data.batch import Batch
+    from dlrm_yx_tpu.data.trace import make_trace_batches
+    from dlrm_yx_tpu.models.dlrm import init_dlrm, model_groups
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, init_opt_state
+    from dlrm_yx_tpu.train.metrics import roc_auc_exact
+    from dlrm_yx_tpu.train.train_step import make_eval_step, make_train_step
+
+    base = DLRMConfig.terabyte_mlperf(max_ind_range=ind_cap)
+    rows = base.emb_rows
+    t = len(rows)
+    dist_file = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "input", "dist_emb_j.log",
+    )
+    r = np.random.RandomState(0)
+    # per-category factors scaled so the summed signal has usable sigma
+    # across 26 tables (1/sqrt(t) keeps Bayes AUC ~0.8)
+    factors = [
+        (r.randn(n) * (3.0 / np.sqrt(t))).astype(np.float32) for n in rows
+    ]
+
+    n_train = min(steps, 1000)  # distinct batches; cycled if steps exceed
+    raw = make_trace_batches(
+        dist_file, rows, base.ln_bot[0], batch, n_train + n_eval, 1,
+        True, seed=1000,
+    )
+    rr = np.random.RandomState(1001)
+    batches = []
+    for b in raw:
+        idx = np.asarray(b.indices)
+        signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
+        p = 1.0 / (1.0 + np.exp(-signal))
+        batches.append(Batch(
+            dense=np.asarray(b.dense), indices=idx,
+            weights=np.asarray(b.weights),
+            labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
+        ))
+    train_b, eval_b = batches[:n_train], batches[n_train:]
+
+    configs = (
+        ("exact", dict(emb_dtype="float32", sparse_update_impl="xla")),
+        ("fast", dict(emb_dtype="float32", sparse_update_impl="pallas")),
+        ("fast_bf16_sr", dict(
+            emb_dtype="bfloat16", sparse_update_impl="pallas",
+            stochastic_rounding=True,
+        )),
+    )
+    finals = {}
+    for tag, kw in configs:
+        cfg = _dc.replace(base, compute_dtype="bfloat16", **kw)
+        params = init_dlrm(cfg, seed=7)
+        opt = OptConfig("rwsadagrad", 0.05)
+        st = init_opt_state(opt, params, model_groups(cfg))
+        step = make_train_step(cfg, opt)
+        ev = make_eval_step(cfg)
+
+        def eval_auc(params):
+            scores, targets = [], []
+            for b in eval_b:
+                preds, _ = ev(params, Batch(*map(jnp.asarray, b)))
+                scores.append(np.asarray(preds).ravel())
+                targets.append(np.asarray(b.labels).ravel())
+            return float(roc_auc_exact(
+                np.concatenate(scores), np.concatenate(targets)
+            ))
+
+        curve = [(0, eval_auc(params))]
+        for i in range(steps):
+            params, st, _ = step(
+                params, st,
+                Batch(*map(jnp.asarray, train_b[i % n_train])), i,
+            )
+            if (i + 1) % max(1, steps // 8) == 0:
+                curve.append((i + 1, eval_auc(params)))
+        finals[tag] = curve[-1][1]
+        print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
+        del params, st
+    gap_fast = abs(finals["fast"] - finals["exact"])
+    gap_bf16 = abs(finals["fast_bf16_sr"] - finals["exact"])
+    ok = gap_fast <= 0.002 and gap_bf16 <= 0.004 and finals["exact"] > 0.7
+    print(json.dumps({
+        "verdict": "ok" if ok else "FAIL",
+        "final_auc": finals,
+        "gap_fast_vs_exact": round(gap_fast, 5),
+        "gap_bf16_sr_vs_exact": round(gap_bf16, 5),
+        "criteria": "fast<=0.002, bf16_sr<=0.004, exact>0.7",
+    }))
+    return 0 if ok else 1
+
+
 def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
@@ -256,6 +365,8 @@ def main():
     shard_modes = [
         f.split("=", 1)[1] for f in flags if f.startswith("--shard-mode=")
     ]
+    if "--scaled" in flags:
+        return run_proxy_scaled(steps if argv else 5000, n_eval)
     if "--compression" in flags:
         # accuracy-only evidence: run on the CPU backend so it works
         # while the TPU tunnel is down (and in CI)

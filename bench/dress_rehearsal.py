@@ -37,6 +37,13 @@ import numpy as np
 
 def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
         test_freq=0, acc_margin=0.015):
+    if force_cpu:
+        # must land before ANY jax backend touch (rank0_print during
+        # preprocessing initializes one); cli.main tolerates the repeat
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", force_cpu)
     from dlrm_yx_tpu.data.synth_kaggle import generate
     from dlrm_yx_tpu.cli import main as cli_main
 
@@ -57,6 +64,9 @@ def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
         print(json.dumps({"phase": "synth", **out["synth"]}), flush=True)
 
     # -- phase 2: preprocess (timed) ---------------------------------------
+    # test batch must not exceed the test split (first half of day 7 =
+    # rows/14), or drop_last leaves ZERO eval batches
+    tmb = max(mb, min(4096, rows // 16))
     args_common = [
         "--arch-sparse-feature-size=16",
         "--arch-mlp-bot=13-512-256-64-16", "--arch-mlp-top=512-256-1",
@@ -65,7 +75,7 @@ def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
         "--loss-function=bce", "--round-targets=True",
         "--learning-rate=0.1", f"--mini-batch-size={mb}",
         "--print-freq=1024", "--print-time",
-        f"--test-mini-batch-size={max(mb, 4096)}",
+        f"--test-mini-batch-size={tmb}",
         f"--numpy-rand-seed={seed}",
     ]
     if force_cpu:

@@ -488,8 +488,17 @@ def main(argv=None):
         # registration; jax.config works when applied before first use
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.force_cpu_devices)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", args.force_cpu_devices)
+        except RuntimeError:
+            # backends already initialized (an in-process driver invoked
+            # main() more than once): accept iff the world already matches
+            if (
+                jax.default_backend() != "cpu"
+                or jax.device_count() < args.force_cpu_devices
+            ):
+                raise
     if args.distributed or os.environ.get("COORDINATOR_ADDRESS"):
         from dlrm_yx_tpu.parallel.multihost import init_multihost
 

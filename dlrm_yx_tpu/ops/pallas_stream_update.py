@@ -62,50 +62,29 @@ def _kernel(starts_ref, pos_hbm, upd_hbm, blk_ref, out_ref,
 
     out_ref[:] = blk_ref[:]
 
-    def start_chunk(c):
-        """Kick off chunk c's (pos, upd) DMAs into buffer slot c%2."""
-        s = c % 2
-        astart = ((j0 + c * CHUNK) // ALIGN) * ALIGN
-        pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(astart, CHP)], pos_s.at[s], sems.at[s, 0]
-        ).start()
-        pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(astart, CHP), :], upd_s.at[s], sems.at[s, 1]
-        ).start()
-
-    def wait_chunk(c):
-        s = c % 2
-        pltpu.make_async_copy(
-            pos_hbm.at[pl.ds(0, CHP)], pos_s.at[s], sems.at[s, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            upd_hbm.at[pl.ds(0, CHP), :], upd_s.at[s], sems.at[s, 1]
-        ).wait()
-
     @pl.when(j1 > j0)
     def _():
         n_chunks = (j1 - j0 + CHUNK - 1) // CHUNK
-        start_chunk(0)
 
         def chunk_body(c, carry):
-            s = c % 2
             base = j0 + c * CHUNK
             astart = (base // ALIGN) * ALIGN
-            wait_chunk(c)
-
-            # double-buffered: next chunk's DMAs stream under this chunk's
-            # RMW loop (the loop runs ~16 us per 2048 items, the 1 MB DMA
-            # ~2 us — the wait disappears from the critical path)
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                start_chunk(c + 1)
-
+            cp_pos = pltpu.make_async_copy(
+                pos_hbm.at[pl.ds(astart, CHP)], pos_s, sems.at[0]
+            )
+            cp_upd = pltpu.make_async_copy(
+                upd_hbm.at[pl.ds(astart, CHP), :], upd_s, sems.at[1]
+            )
+            cp_pos.start()
+            cp_upd.start()
+            cp_pos.wait()
+            cp_upd.wait()
             lo = base - astart
             hi = jnp.minimum(j1, base + CHUNK) - astart
             n = hi - lo
             q = n // 4
-            ps = pos_s.at[s]
-            us = upd_s.at[s]
+            ps = pos_s
+            us = upd_s
 
             # four interleaved independent streams: the scalar core overlaps
             # address computation of later items with earlier items' VMEM
@@ -199,9 +178,9 @@ def sorted_stream_add(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.SMEM((2, CHP), jnp.int32),
-                pltpu.VMEM((2, CHP, LANES), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SMEM((CHP,), jnp.int32),
+                pltpu.VMEM((CHP, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.float32),
