@@ -99,7 +99,8 @@ def _finish_math(lr, g, store_vals, acc_old, base, *, r_phys: int, dim: int,
         denom_b = jnp.sqrt(new_b) + eps
         denom = jnp.where(blk_mask > 0, denom_b, denom)
 
-    return store_vals - lr * g / denom, acc_new
+    new_store = store_vals.astype(jnp.float32) - lr * g / denom
+    return new_store, acc_new
 
 
 def _kernel(lr_ref, g_ref, store_ref, acc_ref, out_store_ref, out_acc_ref,
@@ -109,7 +110,9 @@ def _kernel(lr_ref, g_ref, store_ref, acc_ref, out_store_ref, out_acc_ref,
         lr_ref[0], g_ref[:], store_ref[:], acc_ref[:], base,
         r_phys=r_phys, dim=dim, pack=pack, eps=eps, width=width,
     )
-    out_store_ref[:] = new_store
+    # bf16 stores round deterministically at write-back — the same
+    # astype the XLA dense path applies (optim/optimizer.py dense branch)
+    out_store_ref[:] = new_store.astype(out_store_ref.dtype)
     out_acc_ref[:] = new_acc
 
 
@@ -126,7 +129,9 @@ def rwsadagrad_dense_finish(
     """Apply ``store -= lr * g / (sqrt(acc + mean(g^2)) + eps)`` and
     ``acc += mean(g^2)`` per logical row, in one streamed pass.
 
-    store:   [R, W] float32 (W a multiple of 128; packed stores W=128);
+    store:   [R, W] float32 or bfloat16 (W a multiple of 128; packed
+             stores W=128; bf16 rounds deterministically at write-back,
+             matching the XLA dense path's astype);
     acc:     [A] float32 per-LOGICAL-row momentum, A >= R*pack (callers may
              carry it padded; extra entries are preserved);
     dense_g: [R, W] float32 exactly-coalesced gradient (zeros for untouched
@@ -135,8 +140,12 @@ def rwsadagrad_dense_finish(
     Returns (new_store, new_acc) with shapes/dtypes preserved.
     """
     r, w = store.shape
-    if store.dtype != jnp.float32 or dense_g.shape != (r, w):
-        raise ValueError("rwsadagrad_dense_finish: f32 store/gradient only")
+    if store.dtype not in (jnp.float32, jnp.bfloat16) or dense_g.shape != (
+        r, w,
+    ) or dense_g.dtype != jnp.float32:
+        raise ValueError(
+            "rwsadagrad_dense_finish: f32/bf16 store with f32 gradient"
+        )
     if w % LANES != 0:
         raise ValueError("store width must be a multiple of 128")
     pack = LANES // dim if dim < LANES else 1
@@ -179,188 +188,12 @@ def rwsadagrad_dense_finish(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((r, w), jnp.float32),
+            jax.ShapeDtypeStruct((r, w), store.dtype),
             jax.ShapeDtypeStruct((a_pad // LANES, LANES), jnp.float32),
         ],
         input_output_aliases={2: 0, 3: 1},
         interpret=interpret,
     )(jnp.asarray(lr, jnp.float32).reshape(1), dense_g, store, acc2d)
-    new_acc = new_acc2d.reshape(-1)[:a_in]
-    if acc_tail.shape[0]:
-        new_acc = jnp.concatenate([new_acc, acc_tail])
-    return new_store, new_acc
-
-
-# ---------------------------------------------------------------------------
-# fused scatter + finish: skip the XLA dense-gradient materialization
-# ---------------------------------------------------------------------------
-
-CHUNK = 1024           # update rows DMA'd per inner iteration
-ALIGN = 1024           # dynamic DMA starts floored to this many rows
-                       # (1-D i32 arrays carry a (1024)-lane tiling)
-CHP = CHUNK + ALIGN
-
-
-def _scatter_finish_kernel(starts_ref, lr_ref, pos_hbm, upd_hbm, store_ref,
-                           acc_ref, out_store_ref, out_acc_ref, g_scr,
-                           pos_s, upd_s, sems, *, r_phys: int, dim: int,
-                           pack: int, eps: float, width: int):
-    i = pl.program_id(0)
-    base = i * BLOCK_ROWS
-    j0 = starts_ref[i]
-    j1 = starts_ref[i + 1]
-
-    # accumulate this block's SORTED update run into a zeroed VMEM buffer
-    # (the in-VMEM row RMW loop of ops/pallas_stream_update, ~7 ns/row) —
-    # this replaces the XLA zeros+scatter pass that materialized dense_g
-    # in HBM (~0.46 ms of the 0.71 ms small-store chain, MEASUREMENTS.md)
-    g_scr[:] = jnp.zeros_like(g_scr)
-
-    @pl.when(j1 > j0)
-    def _():
-        n_chunks = (j1 - j0 + CHUNK - 1) // CHUNK
-
-        def chunk_body(c, carry):
-            kbase = j0 + c * CHUNK
-            astart = (kbase // ALIGN) * ALIGN
-            cp_pos = pltpu.make_async_copy(
-                pos_hbm.at[pl.ds(astart, CHP)], pos_s, sems.at[0]
-            )
-            cp_upd = pltpu.make_async_copy(
-                upd_hbm.at[pl.ds(astart, CHP), :], upd_s, sems.at[1]
-            )
-            cp_pos.start()
-            cp_upd.start()
-            cp_pos.wait()
-            cp_upd.wait()
-            lo = kbase - astart
-            hi = jnp.minimum(j1, kbase + CHUNK) - astart
-            n = hi - lo
-            half = n // 2
-
-            # two interleaved streams overlap address computation with VMEM
-            # ops (see pallas_stream_update); duplicates are adjacent in the
-            # sorted input and both RMWs execute in program order
-            def item2(j, _):
-                p1 = pos_s[lo + j] - base
-                g_scr[pl.ds(p1, 1), :] = (
-                    g_scr[pl.ds(p1, 1), :] + upd_s[pl.ds(lo + j, 1), :]
-                )
-                j2 = lo + half + j
-                p2 = pos_s[j2] - base
-                g_scr[pl.ds(p2, 1), :] = (
-                    g_scr[pl.ds(p2, 1), :] + upd_s[pl.ds(j2, 1), :]
-                )
-                return 0
-
-            jax.lax.fori_loop(0, half, item2, 0)
-
-            def item(j, _):
-                p = pos_s[j] - base
-                g_scr[pl.ds(p, 1), :] = (
-                    g_scr[pl.ds(p, 1), :] + upd_s[pl.ds(j, 1), :]
-                )
-                return 0
-
-            jax.lax.fori_loop(lo + 2 * half, hi, item, 0)
-            return carry
-
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    new_store, new_acc = _finish_math(
-        lr_ref[0], g_scr[:], store_ref[:], acc_ref[:], base,
-        r_phys=r_phys, dim=dim, pack=pack, eps=eps, width=width,
-    )
-    out_store_ref[:] = new_store
-    out_acc_ref[:] = new_acc
-
-
-def rwsadagrad_scatter_finish(
-    store: jax.Array,
-    acc: jax.Array,
-    pos: jax.Array,
-    upd: jax.Array,
-    lr,
-    *,
-    dim: int,
-    eps: float,
-    interpret: bool = False,
-):
-    """One-pass dense-regime rwsadagrad update from SORTED per-occurrence
-    updates: accumulate the block's run in VMEM (exactly-coalescing — adds
-    of duplicates happen in the zeroed block buffer), then apply the
-    momentum/denominator/store math of rwsadagrad_dense_finish. Replaces
-    the XLA zeros+scatter dense_g pass entirely: traffic is read store +
-    write store + the [K, W] update stream instead of (scatter-write +
-    read g + read store + write store).
-
-    store: [R, W] float32 (W multiple of 128; packed stores W=128);
-    acc:   [A] float32 per-logical-row momentum, A >= R*pack;
-    pos:   [K] int32 PHYSICAL store rows, ASCENDING (duplicates allowed;
-           entries >= R are dropped — sentinels sort to the end);
-    upd:   [K, W] float32 physical update rows (lane-placed for packed).
-    Returns (new_store, new_acc)."""
-    r, w = store.shape
-    if store.dtype != jnp.float32:
-        raise ValueError("rwsadagrad_scatter_finish: f32 stores only")
-    pack = LANES // dim if dim < LANES else 1
-    if (pack > 1 and w != LANES) or (pack == 1 and dim != w):
-        raise ValueError(f"dim {dim} does not match store width {w}")
-    a = acc.shape[0]
-    if a < r * pack:
-        raise ValueError(f"acc holds {a} rows < {r * pack} logical rows")
-    k = pos.shape[0]
-    pos = jnp.pad(pos.astype(jnp.int32), (0, CHP), constant_values=jnp.int32(r))
-    upd = jnp.pad(upd.astype(jnp.float32), ((0, CHP), (0, 0)))
-
-    bpa = BLOCK_ROWS * pack // LANES
-    n_blocks = (r + BLOCK_ROWS - 1) // BLOCK_ROWS
-    a_pad = n_blocks * bpa * LANES
-    a_in = min(a, a_pad)
-    acc_tail = acc[a_in:]
-    acc2d = jnp.pad(acc[:a_in], (0, a_pad - a_in)).reshape(
-        a_pad // LANES, LANES
-    )
-    bounds = jnp.minimum(
-        jnp.arange(0, n_blocks + 1, dtype=jnp.int32) * BLOCK_ROWS, r
-    )
-    starts = jnp.searchsorted(pos[:k], bounds).astype(jnp.int32)
-
-    new_store, new_acc2d = pl.pallas_call(
-        functools.partial(
-            _scatter_finish_kernel, r_phys=r, dim=dim, pack=pack,
-            eps=float(eps), width=w,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),   # pos (HBM)
-                pl.BlockSpec(memory_space=pl.ANY),   # upd (HBM)
-                pl.BlockSpec((BLOCK_ROWS, w), lambda i, s, l: (i, 0)),
-                pl.BlockSpec((bpa, LANES), lambda i, s, l: (i, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((BLOCK_ROWS, w), lambda i, s, l: (i, 0)),
-                pl.BlockSpec((bpa, LANES), lambda i, s, l: (i, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((BLOCK_ROWS, w), jnp.float32),
-                pltpu.SMEM((CHP,), jnp.int32),
-                pltpu.VMEM((CHP, w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((r, w), jnp.float32),
-            jax.ShapeDtypeStruct((a_pad // LANES, LANES), jnp.float32),
-        ],
-        input_output_aliases={4: 0, 5: 1},
-        interpret=interpret,
-    )(
-        starts, jnp.asarray(lr, jnp.float32).reshape(1),
-        pos, upd, store, acc2d,
-    )
     new_acc = new_acc2d.reshape(-1)[:a_in]
     if acc_tail.shape[0]:
         new_acc = jnp.concatenate([new_acc, acc_tail])

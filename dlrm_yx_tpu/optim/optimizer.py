@@ -63,9 +63,11 @@ def init_opt_state(opt: OptConfig, params: Dict, groups: Sequence[TableGroup]) -
     if opt.name == "adagrad":
         emb = [jnp.zeros(e.shape, jnp.float32) for e in params["emb"]]
     else:  # rwsadagrad: one accumulator per LOGICAL row (stores may be
-        # packed pack-rows-per-physical-row; groups carry the true count)
+        # packed pack-rows-per-physical-row; groups carry the true count),
+        # padded to acc_len so huge accumulators can update via the RMW
+        # kernel instead of XLA's full-buffer rewrite (round 4)
         emb = [
-            jnp.zeros((g.total_rows,), jnp.float32)
+            jnp.zeros((acc_len(g.total_rows),), jnp.float32)
             for g, e in zip(groups, params["emb"])
         ]
     state = {"dense": dense, "emb": emb}
@@ -125,6 +127,50 @@ def update_dense_towers(opt: OptConfig, params, opt_state, g_dense, lr):
 # use the row-RMW kernel only when the XLA full-store rewrite would be
 # expensive; small stores scatter fast and exactly in XLA
 PALLAS_MIN_STORE_BYTES = 64 << 20
+
+# 1-D row-momentum accumulators: XLA keeps the [R] scatter in place (issue-
+# bound, ~240 us at 104 MB) up to a size where it flips to a full-buffer
+# rewrite fusion (measured round 4: 1.53 ms on the 216 MB accumulator of
+# the 54M-row bf16 capacity config). Past this gate the update routes
+# through the row-RMW kernel on the accumulator viewed as a packed
+# [len/128, 128] dim-1 store (~40 ns per touched entry).
+ACC_KERNEL_MIN_BYTES = 160 << 20
+
+# dead logical slots appended to 1-D momenta so the kernel view has its
+# sentinel tail (last physical row dead + clip headroom past real ids)
+ACC_SENTINEL_PAD = 256
+
+
+def acc_len(total_rows: int) -> int:
+    """Padded length of a per-LOGICAL-row 1-D momentum accumulator: rounds
+    to the 128-lane tiling and appends a dead sentinel tail so the row-RMW
+    kernel can apply huge-accumulator updates in place (see
+    ACC_KERNEL_MIN_BYTES). All consumers tolerate the padding (updates
+    address rows < total_rows; the dense finish splits the tail off)."""
+    return ((total_rows + 127) // 128) * 128 + ACC_SENTINEL_PAD
+
+
+def _acc_update_1d(
+    opt, acc, flat_idx, mom_inc, active, sentinel, impl, interpret
+):
+    """acc[idx] += mom_inc for active items — XLA scatter for small
+    accumulators, the row-RMW kernel (dim=1 packed view) once the scatter
+    would lower to a full-buffer rewrite."""
+    from dlrm_yx_tpu.ops import pallas_sparse_update as psu
+
+    if (
+        impl in ("pallas", "stream")
+        and acc.shape[0] % 128 == 0
+        and acc.shape[0] >= sentinel + 129  # clip headroom for real ids
+        and acc.shape[0] * 4 >= ACC_KERNEL_MIN_BYTES
+    ):
+        acc2 = psu.sparse_rows_add(
+            acc.reshape(-1, 128), flat_idx, mom_inc[:, None], active,
+            interpret=interpret, dim=1,
+        )
+        return acc2.reshape(-1)
+    safe = jnp.where(active > 0, flat_idx, sentinel)
+    return acc.at[safe].add(mom_inc * active, mode="drop")
 
 # update-density crossover: the RMW kernel moves one transfer unit per
 # update occurrence and is DMA-ISSUE-bound (~25M rows/s on v5e, ~40 ns/row),
@@ -288,7 +334,9 @@ def sparse_update(
                 jnp.sum(flat_g * flat_g, axis=-1)
                 / jnp.take(row_dim, safe, mode="fill", fill_value=1.0)
             ) * active
-        acc = acc.at[safe].add(mom_inc, mode="drop")
+        acc = _acc_update_1d(
+            opt, acc, flat_idx, mom_inc, active, sentinel, impl, interpret
+        )
         denom = (
             jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
         )
@@ -310,37 +358,16 @@ def sparse_update(
     ):
         # small store OR dense update (high-L): dense-accumulate instead of
         # sort-based coalescing.
-        if (
-            impl in ("pallas", "stream")
-            and opt.name == "rwsadagrad"
-            and row_dim is None
-            and store.dtype == jnp.float32
-            and acc.ndim == 1
-            and (
-                (pack == 1 and d == width and width % 128 == 0)
-                or (pack > 1 and width == 128 and pack == dim_pack(d))
-            )
-            # K small relative to the store: the in-VMEM RMW accumulate
-            # (~7 ns/item) beats the XLA zeros+scatter pass; in the
-            # dense-by-density regime (high-L, K >= R) the sort and the
-            # per-item loop would dominate — keep the dense_g path there
-            and flat_idx.shape[0] * 2 <= store.shape[0]
-        ):
-            # fused scatter+finish (round 4): ONE streamed pallas pass
-            # accumulates the sorted per-occurrence updates in VMEM
-            # (exactly coalescing) and applies momentum + update — no
-            # dense_g materialization (the zeros+scatter was ~0.46 ms of
-            # the 0.71 ms small-store chain at the headline config)
-            from dlrm_yx_tpu.ops.pallas_dense_finish import (
-                rwsadagrad_scatter_finish,
-            )
-
-            order = jnp.argsort(punit)
-            return rwsadagrad_scatter_finish(
-                store, acc, jnp.take(punit, order),
-                jnp.take(flat_g, order, axis=0), lr, dim=d, eps=opt.eps,
-                interpret=interpret,
-            )
+        # NOTE (round 4, measured and rejected): a fused scatter+finish
+        # kernel (ops/pallas_dense_finish.rwsadagrad_scatter_finish) that
+        # accumulates SORTED per-occurrence updates in VMEM instead of
+        # materializing dense_g was built and profiled at the headline
+        # config — 620 us kernel + ~430 us of sort/permute/pad prep vs the
+        # XLA scatter + dense-finish chain's 460 + 249 us: the zeros+
+        # scatter pass is near its floor (memset + 36.8k row writes), and
+        # the kernel pays fixed CHP-window DMAs and ~7 ns/item scalar RMWs
+        # on top. The XLA dense_g path stays the route (MEASUREMENTS.md
+        # round 4).
         # The scatter into a zero buffer IS the coalesced gradient (XLA's
         # full-store rewrite is cheap at this size and exact on duplicates);
         # untouched rows see zero grad, so the Adagrad-family update is a
@@ -358,7 +385,11 @@ def sparse_update(
         if (
             impl in ("pallas", "stream")
             and row_dim is None
-            and store.dtype == jnp.float32
+            # bf16 stores supported round 4: the kernel reads bf16, does
+            # the math in f32, rounds deterministically at write-back —
+            # fusing the ~5 XLA passes + 2 dtype-convert copies the bf16
+            # chain paid (profiled 0.64 ms of the 4.05 ms capacity step)
+            and store.dtype in (jnp.float32, jnp.bfloat16)
             and acc.ndim == 1
             # the kernel's layouts: natural wide rows, or the standard
             # packed [R/pack, 128] form (ops/embedding.dim_pack)

@@ -390,11 +390,13 @@ def init_col_sharded_opt_state(
     if opt.name == "adagrad":
         acc = jnp.zeros_like(emb)
     else:
+        from dlrm_yx_tpu.optim.optimizer import acc_len
+
         logical_rows = plan.total_rows if plan is not None else emb.shape[1]
-        n128 = (logical_rows + 127) // 128 * 128
         # round 3: FLAT per shard (see row_sharded) — avoids the T(1,128)
-        # boundary layout on the size-1 shard axis
-        acc = jnp.zeros((emb.shape[0] * n128,), jnp.float32)
+        # boundary layout on the size-1 shard axis; round 4: acc_len pads
+        # a sentinel tail so huge accumulators take the RMW kernel
+        acc = jnp.zeros((emb.shape[0] * acc_len(logical_rows),), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("emb_small") is not None:
         g = plan.small_group

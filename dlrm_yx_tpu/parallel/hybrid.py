@@ -187,15 +187,17 @@ def init_hybrid_opt_state(
         # step converting it to the 1-D T(1024) form the scatters want;
         # the 2-D form crosses the shard_map boundary in the native
         # (8,128) tiling and flattens to 1-D as a bitcast
+        from dlrm_yx_tpu.optim.optimizer import acc_len
+
         n_log = e.shape[1] * pack
-        n128 = (n_log + 127) // 128 * 128
         # round 3: carried FLAT per shard — global [n_shard * n128] 1-D
         # sharded over "model". A [1, n128/128, 128] boundary block puts
         # the size-1 shard axis in sublanes (T(1,128): one sublane per
         # tile) and XLA pays ~0.28 ms/step of relayout reduce/broadcast
         # pairs; the flat form crosses in the native T(1024) 1-D tiling
-        # the momentum scatters want.
-        return jnp.zeros((e.shape[0] * n128,), jnp.float32)
+        # the momentum scatters want. Round 4: acc_len pads a sentinel
+        # tail so huge accumulators update via the RMW kernel.
+        return jnp.zeros((e.shape[0] * acc_len(n_log),), jnp.float32)
 
     state = {
         "dense": dense,

@@ -323,9 +323,10 @@ def init_row_sharded_opt_state(
         # rwsadagrad: one accumulator per LOGICAL row, carried FLAT per
         # shard (global 1-D sharded over "model") — 2-D forms with a size-1
         # shard axis take a T(1,128) layout and pay boundary relayouts
+        from dlrm_yx_tpu.optim.optimizer import acc_len
+
         n_log = emb.shape[1] * pack
-        n128 = (n_log + 127) // 128 * 128
-        acc = jnp.zeros((emb.shape[0] * n128,), jnp.float32)
+        acc = jnp.zeros((emb.shape[0] * acc_len(n_log),), jnp.float32)
     state = {"dense": dense, "emb": acc}
     if params.get("emb_small") is not None:
         g = plan.small_group

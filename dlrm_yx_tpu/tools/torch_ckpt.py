@@ -282,10 +282,13 @@ def opt_state_from_torch(
 
     row_wise = opt.name == "rwsadagrad"
     # embedding stores
+    from dlrm_yx_tpu.optim.optimizer import acc_len
+
     emb_acc = []
     for g, init_acc in zip(groups, state["emb"]):
         acc = np.zeros(
-            (g.total_rows,) if row_wise else (g.total_rows, g.dim), np.float32
+            (acc_len(g.total_rows),) if row_wise
+            else (g.total_rows, g.dim), np.float32
         )
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             key = (

@@ -92,72 +92,31 @@ def test_finish_rejects_bad_layouts():
                                 dim=64, eps=1e-10, interpret=True)
 
 
-# ------------------- fused scatter + finish (round 4) ------------------------
-
-@pytest.mark.parametrize(
-    "r,dim,w,k,acc_extra",
-    [
-        (512, 128, 128, 200, 0),           # single partial block
-        (BLOCK_ROWS + 72, 128, 128, 900, 16),  # ragged tail, padded acc
-        (640, 64, 128, 300, 0),            # packed pack=2
-        (1024, 32, 128, 4096, 24),         # pack=4, K spanning many chunks
-        (384, 256, 256, 100, 0),           # wide natural rows
-    ],
-)
-def test_scatter_finish_matches_dense_path(r, dim, w, k, acc_extra):
-    """The fused kernel must equal zeros.at[pos].add(upd) -> dense finish
-    (duplicates coalesced exactly by the in-VMEM accumulation)."""
-    from dlrm_yx_tpu.ops.pallas_dense_finish import rwsadagrad_scatter_finish
-
-    rng = np.random.RandomState(r + k)
-    pack = w // dim if dim < w else 1
-    store = rng.randn(r, w).astype(np.float32)
-    acc = np.abs(rng.randn(r * pack + acc_extra)).astype(np.float32)
-    # positions with heavy duplication + some dropped sentinels (>= r)
-    pos = rng.randint(0, r, size=k).astype(np.int32)
-    pos[rng.rand(k) < 0.1] = r  # sentinel entries must be dropped
-    upd = rng.randn(k, w).astype(np.float32)
-    upd[pos >= r] = 0.0
-    order = np.argsort(pos, kind="stable")
-    lr, eps = 0.05, 1e-10
-
-    got_s, got_a = rwsadagrad_scatter_finish(
-        jnp.asarray(store), jnp.asarray(acc),
-        jnp.asarray(pos[order]), jnp.asarray(upd[order]), lr,
-        dim=dim, eps=eps, interpret=True,
-    )
-    dense_g = np.zeros((r, w), np.float32)
-    np.add.at(dense_g, pos[pos < r], upd[pos < r])
-    want_s, want_a = _ref(store, acc, dense_g, lr, dim, eps)
-    np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-5, atol=1e-5)
-    if acc_extra:
-        np.testing.assert_array_equal(
-            np.asarray(got_a)[r * pack:], acc[r * pack:]
-        )
-
-
-def test_sparse_update_routes_small_rwsadagrad_through_scatter_finish():
-    """optim.sparse_update (impl=pallas, size_class=0, K << R) must produce
-    the same result as the xla dense path — the fused kernel is a pure
-    performance substitution."""
-    from dlrm_yx_tpu.optim.optimizer import OptConfig, sparse_update
-
-    rng = np.random.RandomState(0)
-    r, w, k = 1024, 128, 300
-    opt = OptConfig("rwsadagrad", 0.1)
-    store = rng.randn(r, w).astype(np.float32)
+def test_finish_bf16_store_matches_xla_dense_path():
+    """bf16 stores through the kernel must equal the XLA dense chain
+    (f32 math, deterministic bf16 rounding at write-back)."""
+    rng = np.random.RandomState(5)
+    r, w = 640, 128
+    store = rng.randn(r, w).astype(jnp.bfloat16)
     acc = np.abs(rng.randn(r)).astype(np.float32)
-    idx = rng.randint(0, r - 8, size=k).astype(np.int32)
-    idx[-5:] = r  # sentinels
-    g = rng.randn(k, w).astype(np.float32)
-    outs = []
-    for impl in ("xla", "pallas"):
-        s2, a2 = sparse_update(
-            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
-            jnp.asarray(g), 0.1, r, impl=impl, interpret=True, size_class=0,
-            dim=w,
-        )
-        outs.append((np.asarray(s2), np.asarray(a2)))
-    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-5, atol=1e-6)
+    g = np.zeros((r, w), np.float32)
+    touched = rng.choice(r, size=100, replace=False)
+    g[touched] = rng.randn(100, w).astype(np.float32)
+    lr, eps = 0.05, 1e-10
+    got_s, got_a = rwsadagrad_dense_finish(
+        jnp.asarray(store), jnp.asarray(acc), jnp.asarray(g), lr,
+        dim=w, eps=eps, interpret=True,
+    )
+    assert got_s.dtype == jnp.bfloat16
+    # XLA dense-path reference: f32 math then astype(bf16)
+    acc2 = acc + np.mean(g * g, axis=1)
+    want = (
+        np.asarray(store, np.float32)
+        - lr * g / (np.sqrt(acc2)[:, None] + eps)
+    )
+    np.testing.assert_allclose(np.asarray(got_a), acc2, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_s, np.float32),
+        np.asarray(jnp.asarray(want).astype(jnp.bfloat16), np.float32),
+        rtol=0, atol=0,
+    )

@@ -626,3 +626,37 @@ def test_write_only_update_packed_store(monkeypatch):
         outs["pallas"][:-SENTINEL_ROWS], outs["xla"][:-SENTINEL_ROWS],
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_huge_accumulator_kernel_route_matches_scatter(monkeypatch):
+    """_acc_update_1d routes big 1-D momenta through the RMW kernel
+    (dim=1 packed view); forced small here via the byte gate — result must
+    equal the XLA scatter exactly."""
+    import dlrm_yx_tpu.optim.optimizer as oo
+
+    rng = np.random.RandomState(3)
+    total = 1000
+    n = oo.acc_len(total)
+    acc = np.abs(rng.randn(n)).astype(np.float32)
+    k = 300
+    idx = rng.randint(0, total, size=k).astype(np.int32)
+    idx[-7:] = total  # sentinel/inactive
+    active = (idx < total).astype(np.int32)
+    inc = np.abs(rng.randn(k)).astype(np.float32)
+
+    want = acc.copy()
+    np.add.at(want, idx[active > 0], inc[active > 0])
+
+    monkeypatch.setattr(oo, "ACC_KERNEL_MIN_BYTES", 0)
+    got = oo._acc_update_1d(
+        None, jnp.asarray(acc), jnp.asarray(idx), jnp.asarray(inc),
+        jnp.asarray(active), total, "pallas", True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+    # xla fallback (gate not met) must agree too
+    monkeypatch.setattr(oo, "ACC_KERNEL_MIN_BYTES", 1 << 60)
+    got2 = oo._acc_update_1d(
+        None, jnp.asarray(acc), jnp.asarray(idx), jnp.asarray(inc),
+        jnp.asarray(active), total, "pallas", True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6, atol=1e-6)

@@ -211,10 +211,12 @@ def test_rwsadagrad_row_momentum_mapping():
     got = opt_state_from_torch(
         opt_sd, sd, cfg, OptConfig(name="rwsadagrad"), params
     )
+    from dlrm_yx_tpu.optim.optimizer import acc_len
+
     groups = model_groups(cfg)
     for g, acc in zip(groups, got["emb"]):
         acc = np.asarray(acc)
-        assert acc.shape == (g.total_rows,)
+        assert acc.shape == (acc_len(g.total_rows),)  # init_opt_state parity
         for tid, n, off in zip(g.table_ids, g.rows, g.row_offsets):
             np.testing.assert_allclose(
                 acc[off : off + n], state[tid]["momentum"].numpy(), rtol=1e-6
