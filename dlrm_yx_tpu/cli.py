@@ -446,6 +446,25 @@ def make_data(args, cfg):
     sys.exit(f"ERROR: --data-generation={args.data_generation} is not supported")
 
 
+def _measure_dup_density(cfg, train):
+    """Unique-rows-per-occurrence of the big (kernel-eligible) tables on
+    the FIRST batch — the measured statistic that drives the
+    dense-vs-kernel update routing (config.dup_density_hint). Returns None
+    when unmeasurable (no host-side first batch, no big tables)."""
+    try:
+        b0 = train[0] if hasattr(train, "__getitem__") else next(iter(train))
+    except Exception:
+        return None
+    idx = np.asarray(b0.indices)  # [T, B, L]
+    thr = cfg.emb_split_threshold or 0
+    big = [t for t, n in enumerate(cfg.emb_rows) if not thr or n > thr]
+    if not big:
+        return None
+    uniq = sum(len(np.unique(idx[t])) for t in big)
+    total = len(big) * idx.shape[1] * idx.shape[2]
+    return max(1e-3, min(1.0, uniq / max(total, 1)))
+
+
 def debug_print_model(cfg, params, precision=5):
     """--debug-mode: print arch and initial params (the reference's golden
     printout, dlrm_s_pytorch.py:1519-1571)."""
@@ -535,6 +554,22 @@ def main(argv=None):
         tb_logdir=args.tensor_board_filename,
         seed=args.numpy_rand_seed,
     )
+    train, test = make_data(args, cfg)
+    if (
+        cfg.sparse_update_impl in ("pallas", "stream")
+        and cfg.dup_density_hint <= 0
+    ):
+        hint = _measure_dup_density(cfg, train)
+        if hint is not None:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, dup_density_hint=hint)
+            rank0_print(
+                f"duplicate-density hint from first batch: {hint:.3f} "
+                "unique rows per occurrence (drives the dense-vs-kernel "
+                "update crossover)"
+            )
+
     runner = None
     if args.mesh_data > 1 or args.mesh_model > 1:
         if args.shard_mode == "row":
@@ -578,7 +613,6 @@ def main(argv=None):
             + (f", sharder={args.sharder}" if args.shard_mode == "table" else "")
         )
     trainer = Trainer(cfg, opt, tcfg, lr_policy, runner=runner)
-    train, test = make_data(args, cfg)
 
     if args.debug_mode:
         debug_print_model(cfg, trainer.params, args.print_precision)

@@ -96,6 +96,18 @@ class DLRMConfig:
     # scatter is cheap; bigger tables' stores route through the RMW kernel
     # when sparse_update_impl='pallas' (0 disables splitting)
     emb_split_threshold: int = 65536
+    # measured duplicate density of the index stream: the fraction of
+    # UNIQUE rows per step among big-table lookups (0 < hint <= 1), or
+    # <= 0 when unknown. Drives the dense-vs-kernel update crossover with
+    # the stream's REAL density instead of raw occurrence counts: skewed
+    # (Zipf/production) streams in the high-L regime coalesce to far fewer
+    # unique rows than K, so the coalesce-first kernel path beats the
+    # full-store dense rewrite the static rule would pick. The CLI
+    # measures this on the first batch (--sparse-update-impl=pallas with
+    # --data-generation synthetic/dataset); library users pass it
+    # explicitly. Semantics are unchanged — a density-elected kernel route
+    # always coalesces first (grad.coalesce() exactness).
+    dup_density_hint: float = -1.0
     # QR compositional embeddings for tables with rows > qr_threshold
     # (--qr-flag/--qr-threshold/--qr-collisions/--qr-operation,
     # dlrm_s_pytorch.py:282-290)

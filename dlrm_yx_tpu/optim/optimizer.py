@@ -206,6 +206,7 @@ def sparse_update(
     dim: int | None = None,
     exact_momentum: bool = False,
     old_rows=None,
+    density_hint: float = -1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Sparse row update on a flat table store.
 
@@ -249,9 +250,23 @@ def sparse_update(
     layout_ok = (pack == 1 and d % 128 == 0) or (
         pack > 1 and width == 128 and pack == dim_pack(d)
     )
-    dense_by_density = (
-        flat_idx.shape[0] * DENSE_ACCUM_FACTOR >= store.shape[0]
-    )
+    # density-driven crossover (round 4): the static K-vs-R rule assumes
+    # every occurrence is a distinct row; a measured duplicate-density
+    # hint (config.dup_density_hint — unique rows / occurrences on a real
+    # batch) replaces K with the EFFECTIVE unique count, so skewed
+    # production streams near the crossover take the row-touching kernel
+    # (coalesce-first, exactness preserved) instead of a full-store dense
+    # rewrite whose cost ignores duplication entirely.
+    k_raw = flat_idx.shape[0]
+    k_eff = k_raw
+    if 0.0 < density_hint <= 1.0:
+        k_eff = max(1, int(k_raw * density_hint))
+    dense_by_density = k_eff * DENSE_ACCUM_FACTOR >= store.shape[0]
+    if k_eff != k_raw and k_raw * DENSE_ACCUM_FACTOR >= store.shape[0]:
+        # the hint flipped a dense-regime decision to the kernel: the raw
+        # stream IS dup-heavy, so coalesce first (also keeps the kernel's
+        # serialized conflict tail off the dup storm)
+        exact_momentum = True
     use_kernel = (
         # 'stream' routes the dense regime through sparse_update_stream at
         # the train-step level; through THIS interface it behaves as

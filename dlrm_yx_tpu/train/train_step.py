@@ -211,6 +211,7 @@ def _apply_gradients(
                 size_class=g.size_class, dim=g.dim,
                 exact_momentum=config.exact_row_momentum,
                 old_rows=old_rows,
+                density_hint=config.dup_density_hint,
             )
         new_emb.append(store2)
         new_emb_acc.append(acc2)
@@ -477,6 +478,7 @@ def make_accum_train_step(
                 stochastic_round=config.stochastic_rounding, sr_seed=iteration,
                 size_class=g.size_class, dim=g.dim,
                 exact_momentum=config.exact_row_momentum,
+                density_hint=config.dup_density_hint,
             )
             new_emb.append(store2)
             new_emb_acc.append(acc2)

@@ -660,3 +660,36 @@ def test_huge_accumulator_kernel_route_matches_scatter(monkeypatch):
         jnp.asarray(active), total, "pallas", True,
     )
     np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6, atol=1e-6)
+
+
+def test_density_hint_routes_dense_regime_to_coalesced_kernel():
+    """A dup-heavy stream whose RAW occurrence count lands in the dense
+    regime but whose measured unique density is low must flip to the
+    kernel route with coalesce-first — and produce the identical result
+    (grad.coalesce() exactness preserved by construction)."""
+    from dlrm_yx_tpu.optim.optimizer import OptConfig, sparse_update
+    import dlrm_yx_tpu.optim.optimizer as oo
+
+    rng = np.random.RandomState(1)
+    r, w = 1 << 17, 128  # 64 MB store: past the kernel byte gate
+    k = r // 8  # raw K * 8 >= R -> dense regime without a hint
+    opt = OptConfig("rwsadagrad", 0.1)
+    store = rng.randn(r, w).astype(np.float32)
+    acc = np.zeros(oo.acc_len(r), np.float32)
+    idx = rng.randint(0, 60, size=k).astype(np.int32)  # ~0.4% unique
+    g = rng.randn(k, w).astype(np.float32)
+
+    outs = {}
+    for tag, hint in (("dense", -1.0), ("hinted", 60 / k)):
+        s2, a2 = sparse_update(
+            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+            jnp.asarray(g), 0.1, r, impl="pallas", interpret=True,
+            dim=w, density_hint=hint,
+        )
+        outs[tag] = (np.asarray(s2), np.asarray(a2))
+    np.testing.assert_allclose(
+        outs["dense"][0], outs["hinted"][0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        outs["dense"][1][:r], outs["hinted"][1][:r], rtol=1e-5, atol=1e-6
+    )
