@@ -68,7 +68,7 @@ def main():
     us, tot = trace_steps(run, STEPS)
     print(f"bf16 capacity step: {us/1e3:.3f} ms "
           f"({BATCH/(us/1e6):,.0f} ex/s)")
-    for name, ns in tot.most_common(14):
+    for name, ns in tot.most_common(int(os.environ.get("TOPK", "14"))):
         print(f"{ns/STEPS/1e6:8.3f} ms  {name[:120]}")
 
 

@@ -15,6 +15,7 @@ File formats kept byte-compatible:
 from __future__ import annotations
 
 import bisect
+import os
 from collections import deque
 from typing import List, Sequence, Tuple
 
@@ -190,10 +191,17 @@ def make_trace_batches(
     # through every generate call (dlrm_data_pytorch.py:1268-1304); a
     # fresh copy per sample would reset the stack and degenerate the
     # stream to the stack-top element
+    # count consecutive per-table files present, then wrap table ids over
+    # them (e.g. 26 tables over the 3 shipped dist_emb_{0,1,2} fixtures)
+    n_avail = 0
+    while n_avail < t and os.path.exists(
+        dist_file_pattern.replace("j", str(n_avail))
+    ):
+        n_avail += 1
     dists = []
     for k in range(t):
         uniques, list_sd, cumm_sd = read_dist_file(
-            dist_file_pattern.replace("j", str(k))
+            dist_file_pattern.replace("j", str(k % max(n_avail, 1)))
         )
         dists.append((list(uniques), list_sd, cumm_sd))
     batches = []

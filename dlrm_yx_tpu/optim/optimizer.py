@@ -164,6 +164,19 @@ def _acc_update_1d(
         and acc.shape[0] >= sentinel + 129  # clip headroom for real ids
         and acc.shape[0] * 4 >= ACC_KERNEL_MIN_BYTES
     ):
+        # NOTE (round 4, measured and rejected): three alternatives to this
+        # RMW route were built and profiled on the 216 MB capacity-config
+        # accumulator — chunked slice+scatter+concat (1.66 ms: XLA
+        # materializes the slice and concat copies), an optimization_barrier
+        # around the plain scatter (no effect: the full-rewrite lowering is
+        # the scatter op itself at this size, not a fusion decision), and a
+        # write-only unit kernel (1.6 ms: the whole-batch duplicate tail is
+        # DMA-latency-bound at ~300 physical-row dups). A fused store+momentum+denominator kernel (fbgemm
+        # fused-optimizer style) was also built: 2.61 ms vs the separate
+        # kernels' 1.77 — the per-item vector latency chain (select,
+        # reduce, sqrt, divide) does not pipeline against the DMA issue
+        # loop on the single scalar core, even fully vectorized. The RMW
+        # kernel stays.
         acc2 = psu.sparse_rows_add(
             acc.reshape(-1, 128), flat_idx, mom_inc[:, None], active,
             interpret=interpret, dim=1,
@@ -302,6 +315,17 @@ def sparse_update(
             and not stochastic_round
             and store.dtype == jnp.float32
         )
+        # NOTE (round 4, measured and rejected): a write-only UNIT kernel
+        # for bf16 stores (gather each 8-row transfer unit in-graph, splice
+        # the updated row, blind-write whole units with one DMA issue per
+        # item) was built and profiled at the capacity config. The write
+        # half works (0.46 ms vs the RMW's 0.81) but every way of READING
+        # the old units loses more than the write saves: row-granular XLA
+        # take = 1.2 ms (issue-bound at 8x the rows), lax.gather with
+        # slice_sizes=(8,width) = 25+ ms (XLA:TPU serializes multi-row
+        # slice gathers into a while loop), and a [n_units, 8*width]
+        # reshape is not layout-compatible (full-store relayout copy,
+        # OOM). bf16 stores keep the 8-row-unit RMW kernel.
 
         def apply_store(delta):
             if can_overwrite:

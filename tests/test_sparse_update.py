@@ -693,3 +693,32 @@ def test_density_hint_routes_dense_regime_to_coalesced_kernel():
     np.testing.assert_allclose(
         outs["dense"][1][:r], outs["hinted"][1][:r], rtol=1e-5, atol=1e-6
     )
+
+
+def test_acc_update_1d_barriered_scatter_matches_numpy(monkeypatch):
+    """The huge-momentum route (barriered in-place 1-D scatter) must equal
+    a numpy scatter-add exactly, including duplicate logical rows and
+    inactive items."""
+    import dlrm_yx_tpu.optim.optimizer as om
+
+    monkeypatch.setattr(om, "ACC_KERNEL_MIN_BYTES", 0)
+    r = np.random.RandomState(3)
+    length = om.acc_len(16000)
+    acc = r.rand(length).astype(np.float32)
+    k = 64
+    idx = r.randint(0, 16000, k).astype(np.int32)
+    idx[1] = idx[2]
+    idx[3] = (idx[2] // 128) * 128 + (idx[2] + 1) % 128
+    inc = r.rand(k).astype(np.float32)
+    active = np.ones(k, np.int32)
+    active[10] = 0
+    opt = om.OptConfig("rwsadagrad", 0.1)
+    got = om._acc_update_1d(
+        opt, jnp.asarray(acc), jnp.asarray(idx), jnp.asarray(inc),
+        jnp.asarray(active), 16128, "pallas", True,
+    )
+    want = acc.copy()
+    np.add.at(want, idx[active > 0], inc[active > 0])
+    np.testing.assert_allclose(
+        np.asarray(got)[:16000], want[:16000], rtol=0, atol=1e-6
+    )
