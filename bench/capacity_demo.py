@@ -4,7 +4,9 @@ The 10M-ind-range Terabyte config (bench/dlrm_s_criteo_terabyte.sh) needs
 27.7 GB of fp32 tables — impossible on a single 16 GB chip and the reason
 the reference shards tables across GPUs. With bfloat16 table storage
 (emb_dtype, fbgemm fp16-weights parity) the same 54M rows fit in 13.8 GB
-and train at ~485k examples/s on one chip (measured 2026-08-16, v5e).
+and train at ~749k examples/s on one chip (measured 2026-08-20, v5e;
+round 4 routed the 216 MB momentum scatter through the row-RMW kernel
+and taught the dense-finish kernel bf16 stores — was 485-506k).
 
 Run: python bench/capacity_demo.py   (prints one JSON line)
 """
