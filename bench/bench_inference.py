@@ -119,6 +119,12 @@ def main():
         "int8_emb_int8_mlp": store_gb(q8),
     }
 
+    if "--only" in sys.argv:  # e.g. --only int8_emb,int4_emb (XPlane tracing
+        # per variant is minutes through the tunneled relay; this lets a cut
+        # run resume at the missing rows)
+        keep = sys.argv[sys.argv.index("--only") + 1].split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
+
     print(f"# inference bench: {t} tables x <=1M rows, dim {cfg.emb_dims[0]}, "
           f"mb {BATCH}, L={L} (v5e, XPlane-timed)")
     for name, (step, p) in variants.items():
