@@ -7,11 +7,12 @@ bot 13-512-256-128, top 1024-1024-512-256-1, dot interaction), mini-batch
 10M/40M). Measures the full jitted training step (forward + backward +
 RWSAdagrad sparse row updates), reports examples/sec.
 
-Methodology: steps are enqueued in chains of N1 and N2 iterations with a
-blocking fetch only at the end of each chain; per-step time is the slope
-(t2 - t1) / (N2 - N1). This cancels the fixed dispatch/tunnel round-trip
-latency, which on this environment's remote TPU relay is ~30 ms and would
-otherwise swamp the measurement. Parameters are initialized ON DEVICE
+Methodology: the headline is the XPlane-measured device time per step
+(jax.profiler TPU-plane "XLA Ops" sum over a 60-step chain) — the chip's
+own clock, immune to the tunneled relay's wall-clock drift. A wall-clock
+chain-pair slope ((t2-t1)/(N2-N1) over N1/N2-step chains, which cancels
+the fixed ~30 ms dispatch round trip) is printed as a cross-check and is
+the fallback when the profiler is unavailable. Parameters are initialized ON DEVICE
 (init_dlrm_on_device) — the ~13 GB of tables never cross the host link —
 and the step donates its state, so peak HBM is one copy of the model.
 
@@ -95,17 +96,42 @@ def main():
         _ = float(loss)  # blocking fetch drains the chain
         return time.perf_counter() - t0
 
-    # best-of-5 slope: the tunneled relay's throughput drifts run to run
-    # (observed 517k-788k on identical code); the reference's benchmark
-    # likewise extracts the MIN ms/it from its logs
+    # Primary number: XPlane device time per step. Wall-clock through the
+    # tunneled relay drifts ~2x run to run in BOTH directions (recorded
+    # 517k-1.02M on identical code; the min-of-5 slope is biased by relay
+    # hiccups landing in the short chain), while the profiler's TPU-plane
+    # op times measure the chip itself. Scoreboard reconciliation
+    # (MEASUREMENTS.md round-5): the chip's honest step has been 2.268 ms
+    # = ~903k ex/s since round 3; round 3's recorded 1.023M was the slope
+    # estimator flattered by the relay.
+    per_step_xplane = None
+    try:
+        from bench.xputil import trace_steps
+
+        us, _ = trace_steps(lambda n: run_chain(n, 1), 60)
+        per_step_xplane = us / 1e6
+    except Exception as e:  # profiler unavailable -> wall-slope fallback
+        print(f"# xplane trace failed ({type(e).__name__}); "
+              "falling back to wall slope", flush=True)
+
+    # wall-slope cross-check (and fallback): best-of-5 chain-pair slope,
+    # like the reference extracting MIN ms/it from its logs
     # (bench/dlrm_s_benchmark.sh:78,126)
-    per_step = float("inf")
-    it0 = 1
-    for _ in range(5):
+    per_step_slope = float("inf")
+    it0 = 61
+    for _ in range(3 if per_step_xplane else 5):
         t1 = run_chain(N1, it0)
         t2 = run_chain(N2, it0 + N1)
         it0 += N1 + N2
-        per_step = min(per_step, (t2 - t1) / (N2 - N1))
+        per_step_slope = min(per_step_slope, (t2 - t1) / (N2 - N1))
+
+    if per_step_xplane is not None:
+        per_step = per_step_xplane
+        print(f"# xplane step {per_step_xplane*1e3:.3f} ms "
+              f"(headline), wall-slope {per_step_slope*1e3:.3f} ms "
+              "(cross-check)", flush=True)
+    else:
+        per_step = per_step_slope
     examples_per_sec = BATCH / per_step
     vs = (
         examples_per_sec / BASELINE_EXAMPLES_PER_SEC

@@ -261,6 +261,11 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
                       capacity config).
     Prints one AUC curve per config and the final gap summary. The
     defaults-stay-defaults criterion: |fast - exact| <= 0.002 final AUC.
+
+    Each config's finished curve is checkpointed to
+    bench/results/auc_scaled_<steps>.json as it completes, and completed
+    configs are skipped on re-run — a cut relay window keeps its rows
+    (the round-3/4 failure mode was losing the whole run to the cut).
     """
     import dataclasses as _dc
 
@@ -314,8 +319,30 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
             stochastic_rounding=True,
         )),
     )
-    finals = {}
+    ckpt_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        f"auc_scaled_{steps}.json",
+    )
+    done = {}
+    if os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            done = json.load(f).get("curves", {})
+        print(json.dumps({"resumed_configs": sorted(done)}), flush=True)
+
+    def checkpoint(curves, summary=None):
+        payload = {"steps": steps, "batch": batch, "ind_cap": ind_cap,
+                   "curves": curves}
+        if summary is not None:
+            payload["summary"] = summary
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, ckpt_path)
+
+    finals = {tag: c[-1][1] for tag, c in done.items()}
     for tag, kw in configs:
+        if tag in done:
+            continue
         cfg = _dc.replace(base, compute_dtype="bfloat16", **kw)
         params = init_dlrm(cfg, seed=7)
         opt = OptConfig("rwsadagrad", 0.05)
@@ -342,18 +369,22 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
             if (i + 1) % max(1, steps // 8) == 0:
                 curve.append((i + 1, eval_auc(params)))
         finals[tag] = curve[-1][1]
+        done[tag] = curve
+        checkpoint(done)
         print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
         del params, st
     gap_fast = abs(finals["fast"] - finals["exact"])
     gap_bf16 = abs(finals["fast_bf16_sr"] - finals["exact"])
     ok = gap_fast <= 0.002 and gap_bf16 <= 0.004 and finals["exact"] > 0.7
-    print(json.dumps({
+    summary = {
         "verdict": "ok" if ok else "FAIL",
         "final_auc": finals,
         "gap_fast_vs_exact": round(gap_fast, 5),
         "gap_bf16_sr_vs_exact": round(gap_bf16, 5),
         "criteria": "fast<=0.002, bf16_sr<=0.004, exact>0.7",
-    }))
+    }
+    checkpoint(done, summary)
+    print(json.dumps(summary))
     return 0 if ok else 1
 
 

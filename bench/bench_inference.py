@@ -97,37 +97,70 @@ def main():
     dense_params = {k: params[k] for k in ("bot", "top")}
     dense_params["vw"] = None
 
-    variants = {}
-    variants["fp32"] = (make_eval_step(cfg), params)
-    cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
-    variants["bf16_compute"] = (make_eval_step(cfg_bf16), params)
-    q8 = synth_qstores(8)
-    variants["int8_emb"] = (make_quantized_eval_step(cfg, groups, q8), dense_params)
-    q4 = synth_qstores(4)
-    variants["int4_emb"] = (make_quantized_eval_step(cfg, groups, q4), dense_params)
-    qbot = quantize_mlp(jax.tree.map(np.asarray, params["bot"]), "int8")
-    qtop = quantize_mlp(jax.tree.map(np.asarray, params["top"]), "int8")
-    variants["int8_emb_int8_mlp"] = (
-        make_fully_quantized_eval_step(cfg, groups, q8, qbot, qtop),
-        dense_params,
-    )
+    # Lazy constructors: excluded variants must not pay device work
+    # (synth_qstores allocates GBs of HBM; quantize_mlp round-trips the
+    # dense params through host).
+    q_cache = {}
+
+    def qstores(bits):
+        if bits not in q_cache:
+            q_cache[bits] = synth_qstores(bits)
+        return q_cache[bits]
+
+    def _fully_quantized():
+        qbot = quantize_mlp(jax.tree.map(np.asarray, params["bot"]), "int8")
+        qtop = quantize_mlp(jax.tree.map(np.asarray, params["top"]), "int8")
+        return (
+            make_fully_quantized_eval_step(cfg, groups, qstores(8), qbot, qtop),
+            dense_params,
+        )
 
     fp32_gb = sum(p.size * p.dtype.itemsize for p in params["emb"]) / 1e9
-    foot = {
-        "fp32": fp32_gb, "bf16_compute": fp32_gb,
-        "int8_emb": store_gb(q8), "int4_emb": store_gb(q4),
-        "int8_emb_int8_mlp": store_gb(q8),
+    cfg_bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    variant_makers = {
+        "fp32": lambda: (make_eval_step(cfg), params),
+        "bf16_compute": lambda: (make_eval_step(cfg_bf16), params),
+        "int8_emb": lambda: (
+            make_quantized_eval_step(cfg, groups, qstores(8)), dense_params),
+        "int4_emb": lambda: (
+            make_quantized_eval_step(cfg, groups, qstores(4)), dense_params),
+        "int8_emb_int8_mlp": _fully_quantized,
     }
 
+    def footprint_gb(name):
+        if name in ("fp32", "bf16_compute"):
+            return fp32_gb
+        return store_gb(qstores(8 if "int8" in name else 4))
+
+    names = list(variant_makers)
     if "--only" in sys.argv:  # e.g. --only int8_emb,int4_emb (XPlane tracing
         # per variant is minutes through the tunneled relay; this lets a cut
         # run resume at the missing rows)
-        keep = sys.argv[sys.argv.index("--only") + 1].split(",")
-        variants = {k: v for k, v in variants.items() if k in keep}
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            sys.exit(f"--only needs a value; valid: {','.join(names)}")
+        keep = sys.argv[i + 1].split(",")
+        unknown = [k for k in keep if k not in variant_makers]
+        if unknown:
+            sys.exit(f"--only: unknown variant(s) {unknown}; "
+                     f"valid: {','.join(names)}")
+        names = [n for n in names if n in keep]
+
+    results_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
+        "serving_table.json",
+    )
+    rows = {}
+    if not ("--small" in sys.argv) and os.path.exists(results_path):
+        import json
+
+        with open(results_path) as f:
+            rows = json.load(f)
 
     print(f"# inference bench: {t} tables x <=1M rows, dim {cfg.emb_dims[0]}, "
           f"mb {BATCH}, L={L} (v5e, XPlane-timed)")
-    for name, (step, p) in variants.items():
+    for name in names:
+        step, p = variant_makers[name]()
         out = step(p, batches[0])  # compile
         jax.block_until_ready(out)
 
@@ -146,11 +179,25 @@ def main():
             us = (time.perf_counter() - t0) / STEPS * 1e6
         else:
             us, _ = trace_steps(run, STEPS)
+        gb = footprint_gb(name)
         print(
             f"{name:20s} {us:8.1f} us/step  "
             f"{BATCH / (us / 1e6):12,.0f} examples/s  "
-            f"tables {foot[name]:.2f} GB"
+            f"tables {gb:.2f} GB", flush=True,
         )
+        if "--small" not in sys.argv:
+            # checkpoint each row as it lands — a cut window keeps it
+            import json
+
+            rows[name] = {
+                "us_per_step": round(us, 1), "batch": BATCH,
+                "examples_per_s": round(BATCH / (us / 1e6)),
+                "tables_gb": round(gb, 3),
+            }
+            tmp = results_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rows, f, indent=1)
+            os.replace(tmp, results_path)
 
 
 if __name__ == "__main__":

@@ -94,7 +94,9 @@ def main():
     from dlrm_yx_tpu.train.trainer import Trainer, TrainerConfig
 
     opt = OptConfig("rwsadagrad", 0.01)
-    tcfg = TrainerConfig(nepochs=1, print_freq=50, test_freq=0, seed=123)
+    # print_freq 64 lets the auto dispatch policy pick 16 steps/dispatch
+    # (the K-deep staged pipeline that hides the relay's ~30 ms round trip)
+    tcfg = TrainerConfig(nepochs=1, print_freq=64, test_freq=0, seed=123)
     trainer = Trainer(cfg, opt, tcfg)
     # replace host-init params with on-device draws (13 GB of tables)
     trainer.params = init_dlrm_on_device(cfg, seed=123)

@@ -205,6 +205,16 @@ def build_parser() -> argparse.ArgumentParser:
     # gating / reporting
     p.add_argument("--print-freq", type=int, default=1)
     p.add_argument("--test-freq", type=int, default=-1)
+    # dispatch-latency hiding (no reference analog: torch streams hide it)
+    p.add_argument(
+        "--steps-per-dispatch", type=int, default=0,
+        help="full optimizer steps fused into one device dispatch via "
+        "lax.scan (0 = auto: largest of 16/8/4/2 dividing print/test freq)",
+    )
+    p.add_argument(
+        "--prefetch-depth", type=int, default=2,
+        help="host->device staging queue depth (0 = synchronous)",
+    )
     p.add_argument("--test-mini-batch-size", type=int, default=-1)
     p.add_argument("--print-time", action="store_true", default=False)
     p.add_argument("--print-wall-time", action="store_true", default=False)
@@ -551,6 +561,8 @@ def main(argv=None):
         load_path=args.load_model,
         ckpt_backend=args.ckpt_backend,
         grad_accum_iter=args.mlperf_grad_accum_iter,
+        steps_per_dispatch=args.steps_per_dispatch,
+        prefetch_depth=args.prefetch_depth,
         tb_logdir=args.tensor_board_filename,
         seed=args.numpy_rand_seed,
     )

@@ -117,6 +117,205 @@ def _kernel(starts_ref, pos_hbm, upd_hbm, blk_ref, out_ref,
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
+BLOCK_ROWS_APPLY = 2048   # smaller store blocks for the apply variant:
+                          # VMEM must also hold the resident grad table
+                          # (~8 MB at bench shapes; ~16 MB/core total)
+GTAB_MAX_BYTES = 9 << 20  # grad tables beyond this fall back to the
+                          # expand-then-add path (VMEM residency budget)
+
+
+def _apply_kernel(starts_ref, pos_hbm, seg_hbm, w_hbm, h_hbm, gtab_hbm,
+                  blk_ref, out_ref, gtab_v, pos_s, seg_s, h_s, w_s, sems,
+                  *, n_blocks: int, dim: int, pack: int):
+    """sorted_stream_add with the value expansion folded in: update row j
+    is w[j] * gtab[seg[j]] (lane-masked to sub-slot h[j] when the store
+    packs ``pack`` logical rows per physical row). Only SCALAR streams
+    move per occurrence — the [K,128] value array never exists. Chunk
+    scalar DMAs are ping-pong double-buffered (slot = chunk parity) so
+    the RMW loop never stalls on a transfer."""
+    i = pl.program_id(0)
+    j0 = starts_ref[i]
+    j1 = starts_ref[i + 1]
+    row_base = i * BLOCK_ROWS_APPLY
+
+    @pl.when(i == 0)
+    def _():
+        # grad table -> VMEM scratch once; persists across grid steps
+        cp = pltpu.make_async_copy(gtab_hbm, gtab_v, sems.at[2, 0])
+        cp.start()
+        cp.wait()
+
+    out_ref[:] = blk_ref[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    half = lane // dim  # sub-slot id per lane (all-zero when pack == 1)
+
+    @pl.when(j1 > j0)
+    def _():
+        n_chunks = (j1 - j0 + CHUNK - 1) // CHUNK
+
+        def chunk_copies(c, slot):
+            astart = ((j0 + c * CHUNK) // ALIGN) * ALIGN
+            cps = [
+                pltpu.make_async_copy(
+                    pos_hbm.at[pl.ds(astart, CHP)], pos_s.at[slot],
+                    sems.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    seg_hbm.at[pl.ds(astart, CHP)], seg_s.at[slot],
+                    sems.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    w_hbm.at[pl.ds(astart, CHP)], w_s.at[slot],
+                    sems.at[slot, 2],
+                ),
+            ]
+            if pack > 1:
+                cps.append(pltpu.make_async_copy(
+                    h_hbm.at[pl.ds(astart, CHP)], h_s.at[slot],
+                    sems.at[slot, 3],
+                ))
+            return cps
+
+        for cp in chunk_copies(0, 0):
+            cp.start()
+
+        def chunk_body(c, carry):
+            slot = c % 2
+            for cp in chunk_copies(c, slot):
+                cp.wait()
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                for cp in chunk_copies(c + 1, (c + 1) % 2):
+                    cp.start()
+
+            base = j0 + c * CHUNK
+            astart = (base // ALIGN) * ALIGN
+            lo = base - astart
+            hi = jnp.minimum(j1, base + CHUNK) - astart
+            n = hi - lo
+            q = n // 4
+
+            def rmw(jj):
+                s = seg_s[slot, jj]
+                g = gtab_v[pl.ds(s, 1), :]
+                p = pos_s[slot, jj] - row_base
+                if pack > 1:
+                    wv = jnp.where(
+                        half == h_s[slot, jj], w_s[slot, jj], 0.0
+                    )
+                    out_ref[pl.ds(p, 1), :] = (
+                        out_ref[pl.ds(p, 1), :] + g * wv
+                    )
+                else:
+                    out_ref[pl.ds(p, 1), :] = (
+                        out_ref[pl.ds(p, 1), :] + g * w_s[slot, jj]
+                    )
+
+            # 4-way interleave (see _kernel): independent streams let the
+            # scalar core overlap later items' address math with earlier
+            # items' VMEM ops; duplicates are adjacent in sorted order and
+            # bodies run in program order, so sums stay exact.
+            def item4(j, _):
+                for t in range(4):
+                    rmw(lo + t * q + j)
+                return 0
+
+            jax.lax.fori_loop(0, q, item4, 0)
+
+            def item(j, _):
+                rmw(j)
+                return 0
+
+            jax.lax.fori_loop(lo + 4 * q, hi, item, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+def sorted_stream_apply(
+    store: jax.Array,
+    pos: jax.Array,
+    seg: jax.Array,
+    w: jax.Array,
+    h: jax.Array,
+    gtab: jax.Array,
+    *,
+    dim: int,
+    pack: int,
+    n_live: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """store[pos[k], lanes(h[k])] += w[k] * gtab[seg[k], lanes(h[k])] for
+    ascending pos — the factored form of ``sorted_stream_add`` where the
+    per-occurrence update VALUES are expanded inside the kernel from the
+    (small, VMEM-resident) pooled-grad table instead of materializing
+    [K,128] in HBM (measured 5.6 ms of gather+select fusions at the L=100
+    bench shapes, bench/results/round4_device.log).
+
+    store: [R,128] f32 (aliased in place); pos/seg/h: [>=n_live+CHP] i32
+    (sentinel pos >= R drops the entry); w: same length f32, all scalar
+    optimizer math (lr, 1/sqrt(acc), pooling weight) pre-folded; gtab:
+    [S,128] f32, lane-TILED copy of the [S,dim] pooled cotangent when
+    pack > 1; h: sub-slot id (rows % pack), ignored when pack == 1.
+    """
+    if store.dtype != jnp.float32:
+        raise ValueError("sorted_stream_apply: float32 stores only")
+    if store.shape[1] != LANES or gtab.shape[1] != LANES:
+        raise ValueError("sorted_stream_apply: 128-lane rows required")
+    if gtab.size * 4 > GTAB_MAX_BYTES:
+        raise ValueError("grad table exceeds VMEM residency budget")
+    r = store.shape[0]
+    k = n_live
+    if pos.shape[0] < k + CHP:
+        raise ValueError(f"pos needs >= {CHP} sentinel rows past {k}")
+    s_rows = gtab.shape[0]
+    if s_rows % 8:
+        raise ValueError("gtab rows must be a sublane multiple (pad to 8)")
+    n_blocks = (r + BLOCK_ROWS_APPLY - 1) // BLOCK_ROWS_APPLY
+    bounds = jnp.minimum(
+        jnp.arange(0, n_blocks + 1, dtype=jnp.int32) * BLOCK_ROWS_APPLY, r
+    )
+    starts = jnp.searchsorted(pos[:k], bounds).astype(jnp.int32)
+
+    return pl.pallas_call(
+        functools.partial(
+            _apply_kernel, n_blocks=n_blocks, dim=dim, pack=pack
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # pos (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # seg (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # w   (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # h   (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # gtab (HBM)
+                pl.BlockSpec(
+                    (BLOCK_ROWS_APPLY, LANES), lambda i, s: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (BLOCK_ROWS_APPLY, LANES), lambda i, s: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((s_rows, LANES), jnp.float32),  # resident gtab
+                pltpu.SMEM((2, CHP), jnp.int32),           # pos ping-pong
+                pltpu.SMEM((2, CHP), jnp.int32),           # seg
+                pltpu.SMEM((2, CHP), jnp.int32),           # h
+                pltpu.SMEM((2, CHP), jnp.float32),         # w
+                pltpu.SemaphoreType.DMA((3, 4)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, LANES), jnp.float32),
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(starts, pos, seg, w, h, gtab, store)
+
+
 def sorted_stream_add(
     store: jax.Array,
     pos: jax.Array,

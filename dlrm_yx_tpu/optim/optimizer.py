@@ -585,12 +585,17 @@ def sparse_update_stream(
     fused-optimizer kernels (SURVEY.md §2.3); grad.coalesce() exactness
     holds for SGD, rwsadagrad approximates per-occurrence like fbgemm.
     """
-    from dlrm_yx_tpu.ops.pallas_stream_update import sorted_stream_add
+    from dlrm_yx_tpu.ops.pallas_stream_update import (
+        CHP,
+        GTAB_MAX_BYTES,
+        LANES,
+        sorted_stream_add,
+        sorted_stream_apply,
+    )
 
     t, b, l = gidx.shape
     k = t * b * l
     dim, pack = group.dim, group.pack
-    from dlrm_yx_tpu.ops.pallas_stream_update import CHP
 
     rows = gidx.reshape(-1).astype(jnp.int32)
     seg = jnp.broadcast_to(
@@ -598,47 +603,62 @@ def sparse_update_stream(
     ).reshape(-1)
     w = weights.reshape(-1).astype(jnp.float32)
     rows_s, seg_s, w_s = jax.lax.sort((rows, seg, w), num_keys=1)
-    # pad the SCALAR streams before value expansion (padding [K,128] values
-    # afterwards would copy ~1 GB at bench sizes); the sentinel logical row
-    # maps to a physical pos >= store rows, so the kernel drops it
+    # pad the SCALAR streams only — no [K,128] value array is ever built
+    # (round-5: the expansion moved INSIDE the kernel, which reads the
+    # VMEM-resident [t*b,128] pooled-grad table per occurrence; the old
+    # gather+select expansion cost 5.6 ms at the L=100 bench shapes); the
+    # sentinel logical row maps to a physical pos >= store rows, so the
+    # kernel drops it
     r_phys = store.shape[0]
     rows_s = jnp.pad(rows_s, (0, CHP), constant_values=jnp.int32(r_phys * pack))
     seg_s = jnp.pad(seg_s, (0, CHP))
     w_s = jnp.pad(w_s, (0, CHP))
 
     gp2 = g_pooled.astype(jnp.float32).reshape(t * b, dim)
+    sumsq_g = jnp.sum(gp2 * gp2, axis=-1)  # [t*b]; for the momentum path
     if pack > 1:
         gp2 = jnp.tile(gp2, (1, pack))  # [t*b, 128]
-    vals = jnp.take(gp2, seg_s, axis=0) * w_s[:, None]
-    if pack > 1:
-        blk = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) // dim
-        vals = jnp.where(blk[None, :] == (rows_s % pack)[:, None], vals, 0.0)
     pos = rows_s // pack if pack > 1 else rows_s
+    h_sub = (rows_s % pack).astype(jnp.int32) if pack > 1 else rows_s
+
+    gtab = gp2
+    pad_rows = (-gtab.shape[0]) % 8
+    if pad_rows:
+        gtab = jnp.pad(gtab, ((0, pad_rows), (0, 0)))
+    fits_vmem = (
+        gtab.shape[0] * LANES * 4 <= GTAB_MAX_BYTES and gtab.shape[1] == LANES
+    )
+
+    def apply_update(st, w_eff):
+        if fits_vmem:
+            return sorted_stream_apply(
+                st, pos, seg_s, w_eff, h_sub, gtab,
+                dim=dim, pack=pack, n_live=k, interpret=interpret,
+            )
+        # fallback: expand values in XLA (grad table too big for VMEM)
+        vals = jnp.take(gp2, seg_s, axis=0) * w_eff[:, None]
+        if pack > 1:
+            blk = jax.lax.broadcasted_iota(jnp.int32, (128,), 0) // dim
+            vals = jnp.where(blk[None, :] == h_sub[:, None], vals, 0.0)
+        return sorted_stream_add(st, pos, vals, n_live=k, interpret=interpret)
 
     if opt.name == "sgd":
-        return (
-            sorted_stream_add(
-                store, pos, -lr * vals, n_live=k, interpret=interpret
-            ),
-            acc,
-        )
+        return apply_update(store, -lr * w_s), acc
 
-    # rwsadagrad: per-LOGICAL-row 1-D momentum, per-occurrence accumulation
+    # rwsadagrad: per-LOGICAL-row 1-D momentum, per-occurrence accumulation.
+    # sum(vals^2) factors as w^2 * sum(g[seg]^2): no expansion needed here
+    # either (the mask keeps exactly one dim-lane copy of g).
     active = (rows_s < group.total_rows).astype(jnp.float32)
+    wsq = w_s * w_s * jnp.take(
+        sumsq_g, seg_s, mode="fill", fill_value=0.0
+    )
     if row_dim is None:
-        mom_inc = jnp.sum(vals * vals, axis=-1) / dim * active
+        mom_inc = wsq / dim * active
     else:
         mom_inc = (
-            jnp.sum(vals * vals, axis=-1)
-            / jnp.take(row_dim, rows_s, mode="fill", fill_value=1.0)
+            wsq / jnp.take(row_dim, rows_s, mode="fill", fill_value=1.0)
         ) * active
     safe = jnp.where(active > 0, rows_s, group.total_rows)
     acc = acc.at[safe].add(mom_inc, mode="drop")
     denom = jnp.sqrt(jnp.take(acc, safe, mode="fill", fill_value=1.0)) + opt.eps
-    return (
-        sorted_stream_add(
-            store, pos, -lr * vals / denom[:, None], n_live=k,
-            interpret=interpret,
-        ),
-        acc,
-    )
+    return apply_update(store, -lr * w_s / denom), acc

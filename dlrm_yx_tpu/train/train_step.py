@@ -287,6 +287,52 @@ def make_train_step(
     return step
 
 
+def make_multistep_train_step(
+    config: DLRMConfig,
+    opt: OptConfig,
+    n_steps: int,
+    lr_fn: Optional[Callable] = None,
+    jit: bool = True,
+):
+    """``n_steps`` FULL optimizer steps under one ``lax.scan`` — ONE
+    dispatch (and one stacked H2D transfer) per ``n_steps`` iterations.
+
+    Semantics are identical to calling ``make_train_step``'s function
+    ``n_steps`` times in sequence (each scan iteration is the same traced
+    body: lookup → grad → sparse/dense update, with its own per-iteration
+    lr and sr_seed). This exists purely to hide per-call dispatch latency:
+    on a tunneled/remote device each Execute costs a host round-trip that
+    a 2.3 ms step cannot amortize (the reference hides the same latency
+    with DataLoader worker prefetch + CUDA stream queuing,
+    /root/reference/dlrm_s_pytorch.py:1845-1876 — on TPU the equivalent is
+    fewer, fatter dispatches).
+
+    step(params, opt_state, stacked_batch, iteration): every Batch leaf
+    has a leading [n_steps] axis; iteration is the index of the FIRST
+    micro-iteration. Returns (params, opt_state, losses[n_steps]).
+    """
+    inner = make_train_step(config, opt, lr_fn, jit=False)
+
+    def step(params, opt_state, batches, iteration):
+        def body(carry, xs):
+            p, s = carry
+            leaves, it = xs
+            p, s, loss = inner(p, s, Batch(*leaves), it)
+            return (p, s), loss
+
+        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32
+        )
+        (p, s), losses = jax.lax.scan(
+            body, (params, opt_state), (tuple(batches), its)
+        )
+        return p, s, losses
+
+    if jit:
+        return jax.jit(step, donate_argnums=(0, 1))
+    return step
+
+
 def make_eval_step(config: DLRMConfig, jit: bool = True):
     """Returns eval(params, batch) -> (predictions [B,1], loss) — the
     inference path of dlrm_s_pytorch.py:1018-1162."""

@@ -37,6 +37,7 @@ from dlrm_yx_tpu.train.metrics import StreamingAUC, binary_metrics
 from dlrm_yx_tpu.train.train_step import (
     make_accum_train_step,
     make_eval_step,
+    make_multistep_train_step,
     make_train_step,
 )
 from dlrm_yx_tpu.utils.logging import EventLogger, ScalarWriter, rank0_print
@@ -59,6 +60,72 @@ class TrainerConfig:
                                      # orbax (sharded, multi-host-correct)
     grad_accum_iter: int = 1         # micro-batches per optimizer step
                                      # (--mlperf-grad-accum-iter)
+    steps_per_dispatch: int = 0      # full optimizer steps per device
+                                     # dispatch (lax.scan); 0 = auto-pick
+                                     # the largest of 16/8/4/2/1 dividing
+                                     # print_freq and test_freq. Hides
+                                     # per-call dispatch latency; loss
+                                     # sequence is identical to 1.
+    prefetch_depth: int = 2          # host->device staging queue depth
+                                     # (background-thread device_put);
+                                     # 0 = prepare inline (debug)
+
+
+def _auto_steps_per_dispatch(tcfg: "TrainerConfig") -> int:
+    """Largest M in {16,8,4,2} that keeps print/eval boundaries exact
+    (M divides print_freq and test_freq when they are set), else 1."""
+    if tcfg.steps_per_dispatch > 0:
+        return tcfg.steps_per_dispatch
+    for m in (16, 8, 4, 2):
+        if tcfg.print_freq and tcfg.print_freq % m:
+            continue
+        if tcfg.test_freq and tcfg.test_freq % m:
+            continue
+        return m
+    return 1
+
+
+def _prefetch_thread(gen, depth: int):
+    """Run ``gen`` on a background thread into a bounded queue: the
+    host-side batch stacking and the (blocking, round-trip-priced)
+    device_put overlap the main thread's step dispatches — wall clock
+    becomes max(device step, transfer) instead of their sum."""
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    END = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for x in gen:
+                while not stop.is_set():
+                    try:
+                        q.put(x, timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surfaced on the main thread
+            err.append(e)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            x = q.get()
+            if x is END:
+                if err:
+                    raise err[0]
+                return
+            yield x
+    finally:
+        stop.set()
 
 
 def _group_microbatches(it, n):
@@ -105,6 +172,8 @@ class Trainer:
                     f"but --mlperf-grad-accum-iter={self.accum}; pass n_accum "
                     "to the runner"
                 )
+        self.msteps = 1
+        self.multi_step = None
         if runner is None:
             if self.accum > 1:
                 self.train_step = make_accum_train_step(
@@ -112,6 +181,11 @@ class Trainer:
                 )
             else:
                 self.train_step = make_train_step(config, opt, lr_fn)
+                self.msteps = _auto_steps_per_dispatch(tcfg)
+                if self.msteps > 1:
+                    self.multi_step = make_multistep_train_step(
+                        config, opt, self.msteps, lr_fn
+                    )
             self.eval_step = make_eval_step(config)
             self.params = init_dlrm(config, seed=tcfg.seed)
             self.opt_state = init_opt_state(opt, self.params, self.groups)
@@ -239,6 +313,7 @@ class Trainer:
         import time as _time
 
         pending: List = []  # device losses; fetched only at print boundaries
+        pending_n = 0       # iterations the pending losses cover
         stop = False
         summary = {}
         for epoch in range(self.start_epoch, tcfg.nepochs):
@@ -254,61 +329,85 @@ class Trainer:
             )
             if self.accum > 1:
                 it_source = _group_microbatches(it_source, self.accum)
-            # one-batch host->device prefetch: the next batch's transfer
-            # overlaps the current step (the reference relies on DataLoader
-            # worker prefetch + non-blocking H2D for the same purpose;
-            # per-step blocking would serialize the ~30 ms relay round trip
-            # and the batch transfer with compute)
+
             def drain():
                 """Fetch pending device losses and record their span in the
                 epoch timer — called at EVERY chain boundary (print, eval,
                 epoch end) so tail/partial blocks count in the average."""
-                nonlocal pending
+                nonlocal pending, pending_n
                 if not pending:
                     return []
-                losses = [float(x) for x in pending]
+                losses = [
+                    float(v) for x in pending for v in np.ravel(np.asarray(x))
+                ]
                 span = _time.perf_counter() - span_t0
-                for _ in pending:
-                    epoch_timer.times.append(span / len(pending))
+                for _ in range(pending_n):
+                    epoch_timer.times.append(span / pending_n)
                 pending = []
+                pending_n = 0
                 return losses
 
-            nxt = None
-            j = -1
-            while True:
-                if nxt is None:
-                    try:
-                        j += 1
-                        nb = next(it_source)
-                    except StopIteration:
-                        break
+            def host_stream():
+                j = -1
+                for nb in it_source:
+                    j += 1
                     if epoch == self.start_epoch and j < self.skip_batches:
                         continue
-                    nxt = self._prepare(nb)
-                cur = nxt
-                nxt = None
-                try:
-                    j += 1
-                    nb = next(it_source)
-                    if not (epoch == self.start_epoch and j < self.skip_batches):
-                        nxt = self._prepare(nb)  # async H2D under the step
-                except StopIteration:
-                    pass
+                    yield nb
+
+            def dispatch_stream():
+                """Yields (device_batch, n_iters, use_multi). With a
+                multi-step: M host batches stack into ONE H2D transfer and
+                one scanned dispatch; the tail (<M) runs single steps."""
+                src = host_stream()
+                if self.multi_step is not None:
+                    group = []
+                    for nb in src:
+                        group.append(nb)
+                        if len(group) == self.msteps:
+                            stacked = Batch(*[
+                                np.stack([
+                                    np.asarray(getattr(b, f)) for b in group
+                                ])
+                                for f in Batch._fields
+                            ])
+                            yield self._prepare(stacked), self.msteps, True
+                            group = []
+                    for nb in group:
+                        yield self._prepare(nb), 1, False
+                else:
+                    for nb in src:
+                        yield self._prepare(nb), 1, False
+
+            # the dispatch stream (host batch assembly + the blocking H2D
+            # device_put) runs on a background thread so transfers overlap
+            # step dispatches (the reference relies on DataLoader worker
+            # prefetch + non-blocking H2D, dlrm_s_pytorch.py:1845-1876;
+            # per-step blocking would serialize the ~30 ms relay round
+            # trip with compute)
+            stream = dispatch_stream()
+            if tcfg.prefetch_depth > 0:
+                stream = _prefetch_thread(stream, tcfg.prefetch_depth)
+            for dev_b, n_it, use_multi in stream:
                 if not pending:
                     span_t0 = _time.perf_counter()
-                self.params, self.opt_state, loss = self.train_step(
-                    self.params, self.opt_state, cur, self.iteration
+                step_fn = self.multi_step if use_multi else self.train_step
+                self.params, self.opt_state, loss = step_fn(
+                    self.params, self.opt_state, dev_b, self.iteration
                 )
                 pending.append(loss)
-                self.iteration += 1
+                pending_n += n_it
+                prev_it = self.iteration
+                self.iteration += n_it
 
-                if tcfg.print_freq and self.iteration % tcfg.print_freq == 0:
-                    n_chain = len(pending)
-                    t_before = _time.perf_counter()
+                if tcfg.print_freq and (
+                    self.iteration // tcfg.print_freq
+                    > prev_it // tcfg.print_freq
+                ):
                     # warmup-excluded per-iter bookkeeping (the reference's
                     # CUDA-event epoch average, dlrm_s_pytorch.py:1966-1988)
                     losses = drain()
-                    ms = (t_before - span_t0 + (_time.perf_counter() - t_before)) / n_chain * 1e3
+                    ms = epoch_timer.times[-1] * 1e3
                     avg_loss = sum(losses) / max(len(losses), 1)
                     rank0_print(
                         f"Finished training it {self.iteration} of epoch "
@@ -320,7 +419,10 @@ class Trainer:
                 if (
                     test_batches is not None
                     and tcfg.test_freq
-                    and self.iteration % tcfg.test_freq == 0
+                    and (
+                        self.iteration // tcfg.test_freq
+                        > prev_it // tcfg.test_freq
+                    )
                 ):
                     drain()
                     stop, summary = self._run_eval(test_batches, epoch)

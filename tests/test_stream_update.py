@@ -57,6 +57,85 @@ def test_sorted_stream_add_matches_scatter():
         )
 
 
+@pytest.mark.parametrize("dim,pack", [(128, 1), (64, 2)])
+def test_sorted_stream_apply_multiblock_multichunk(dim, pack):
+    """Direct kernel test across store-block AND chunk boundaries: the
+    resident grad table must persist across grid steps (loaded once at
+    i==0) and the ping-pong chunk buffers must hand off correctly when a
+    block's run spans multiple CHUNK-sized scalar DMAs."""
+    from dlrm_yx_tpu.ops.pallas_stream_update import (
+        BLOCK_ROWS_APPLY, CHP, CHUNK, sorted_stream_apply,
+    )
+
+    r = np.random.RandomState(7)
+    rp = 2 * BLOCK_ROWS_APPLY + 333          # 3 blocks, last partial
+    k = 2 * CHUNK + 777                       # multiple chunks per block
+    s_rows = 64
+    # cluster most updates into block 0 so one block spans >2 chunks
+    pos_log = np.concatenate([
+        r.randint(0, BLOCK_ROWS_APPLY * pack // 2, k - 1000),
+        r.randint(0, rp * pack, 1000),
+    ]).astype(np.int32)
+    pos_log = np.sort(pos_log)
+    seg = r.randint(0, s_rows, k).astype(np.int32)
+    w = r.randn(k).astype(np.float32)
+    gt_base = r.randn(s_rows, dim).astype(np.float32)
+    gtab = np.tile(gt_base, (1, pack)).astype(np.float32)
+
+    pos_p = np.concatenate([pos_log // pack, np.full(CHP, rp, np.int32)])
+    h_p = np.concatenate([pos_log % pack, np.zeros(CHP, np.int32)])
+    seg_p = np.concatenate([seg, np.zeros(CHP, np.int32)])
+    w_p = np.concatenate([w, np.zeros(CHP, np.float32)])
+    store = r.randn(rp, 128).astype(np.float32)
+
+    want = store.astype(np.float64).copy()
+    for i in range(k):
+        val = np.zeros(128)
+        lo = (pos_log[i] % pack) * dim
+        val[lo:lo + dim] = w[i] * gt_base[seg[i]]
+        want[pos_log[i] // pack] += val
+
+    got = sorted_stream_apply(
+        jnp.asarray(store), jnp.asarray(pos_p), jnp.asarray(seg_p),
+        jnp.asarray(w_p), jnp.asarray(h_p), jnp.asarray(gtab),
+        dim=dim, pack=pack, n_live=k, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_update_stream_fallback_when_gtab_too_big(monkeypatch):
+    """When the pooled-grad table exceeds the VMEM residency budget the
+    optimizer entry must take the expand-then-add path and still match."""
+    import dlrm_yx_tpu.ops.pallas_stream_update as psu
+
+    class G:
+        pass
+
+    g = G()
+    g.dim, g.pack, g.size_class = 64, 2, 1
+    t, b, l, rows_per_table = 2, 8, 5, 64
+    g.total_rows = t * rows_per_table
+    r = np.random.RandomState(9)
+    gidx, w, gp, total = _factored_inputs(r, t, b, l, rows_per_table, 64, 2)
+    rp = (total + 1) // 2 + 2
+    store = r.randn(rp, 128).astype(np.float32)
+    opt = OptConfig("sgd", 0.1)
+
+    ref_store, _ = sparse_update_stream(
+        opt, jnp.asarray(store), None, g, jnp.asarray(gidx),
+        jnp.asarray(w), jnp.asarray(gp), 0.1, interpret=True,
+    )
+    monkeypatch.setattr(psu, "GTAB_MAX_BYTES", 1)
+    import dlrm_yx_tpu.optim.optimizer as om
+    fb_store, _ = om.sparse_update_stream(
+        opt, jnp.asarray(store), None, g, jnp.asarray(gidx),
+        jnp.asarray(w), jnp.asarray(gp), 0.1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_store), np.asarray(ref_store), rtol=1e-5, atol=1e-6
+    )
+
+
 def _factored_inputs(r, t, b, l, rows_per_table, dim, pack, dup=False):
     total = t * rows_per_table
     idx = r.randint(0, rows_per_table, (t, b, l)).astype(np.int32)

@@ -203,6 +203,60 @@ def test_resume_equivalence_composed(tmp_path):
     )
 
 
+def test_multistep_dispatch_parity(tmp_path):
+    """steps_per_dispatch=M scans M full optimizer steps in one dispatch —
+    final params and iteration count must match the M=1 loop exactly
+    (including a non-multiple tail and an LR schedule that varies across
+    the scanned window)."""
+    cfg = DLRMConfig.tiny()
+    batches = _batches(cfg, 11)  # 2 groups of 4 + 3 tail singles
+
+    def run(m, depth):
+        pol = LRPolicy(base_lr=0.2, num_warmup_steps=3, decay_start_step=5,
+                       num_decay_steps=4)
+        tcfg = TrainerConfig(print_freq=4, seed=3, steps_per_dispatch=m,
+                             prefetch_depth=depth)
+        tr = Trainer(cfg, OptConfig("rwsadagrad", lr=0.2), tcfg,
+                     lr_policy=pol)
+        tr.fit(batches)
+        return tr
+
+    a = run(1, 0)
+    b = run(4, 2)
+    assert b.msteps == 4 and b.multi_step is not None
+    assert a.iteration == b.iteration == 11
+    import jax
+
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
+        )
+    for sa, sb in zip(
+        jax.tree.leaves(a.opt_state), jax.tree.leaves(b.opt_state)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(sa), np.asarray(sb), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_auto_steps_per_dispatch_policy():
+    from dlrm_yx_tpu.train.trainer import _auto_steps_per_dispatch
+
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=64, test_freq=0)) == 16
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=64, test_freq=128)) == 16
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=4, test_freq=0)) == 4
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=3, test_freq=0)) == 1
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=64, test_freq=24)) == 8
+    # explicit value wins
+    assert _auto_steps_per_dispatch(
+        TrainerConfig(print_freq=3, steps_per_dispatch=7)) == 7
+
+
 def test_eval_and_early_stop(tmp_path):
     trainer, cfg = _tiny_trainer(
         tmp_path,
