@@ -248,7 +248,8 @@ def run_proxy_compression(steps=800, n_eval=16):
     return finals
 
 
-def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
+def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
+                     ablate=False):
     """VERDICT round-3 item 9: guard the approximation semantics at scale.
 
     The FLAGSHIP 26-table Terabyte-MLPerf arch (row counts capped at
@@ -319,6 +320,19 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048):
             stochastic_rounding=True,
         )),
     )
+    if ablate:
+        # isolate the two approximations the 'fast' config stacks
+        # (first run: fast trailed exact by 0.006 AUC — which one is it?)
+        configs = configs + (
+            ("fast_exact_mom", dict(
+                emb_dtype="float32", sparse_update_impl="pallas",
+                exact_row_momentum=True,   # also disables write-only
+            )),
+            ("fast_rmw", dict(
+                emb_dtype="float32", sparse_update_impl="pallas",
+                write_only_update=False,   # per-occurrence momentum kept
+            )),
+        )
     ckpt_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results",
         f"auc_scaled_{steps}.json",
@@ -397,7 +411,9 @@ def main():
         f.split("=", 1)[1] for f in flags if f.startswith("--shard-mode=")
     ]
     if "--scaled" in flags:
-        return run_proxy_scaled(steps if argv else 5000, n_eval)
+        return run_proxy_scaled(
+            steps if argv else 5000, n_eval, ablate="--ablate" in flags
+        )
     if "--compression" in flags:
         # accuracy-only evidence: run on the CPU backend so it works
         # while the TPU tunnel is down (and in CI)

@@ -9,6 +9,12 @@
 //   fp_parse_raw_tsv   raw Criteo TSV -> (y, X_int, X_cat) int32 arrays
 //   fp_read_bin_batch  pread one batch of 40xint32 records, transform to
 //                      (y f32, log1p(dense) f32, cat%range i32)
+//   fp_dict_*          insertion-order categorical dictionaries (flat
+//                      open-addressing hash): one-pass first-appearance
+//                      dict build + O(1)/row remap — replaces the numpy
+//                      sort-based unique/searchsorted stages (the remap
+//                      half of /root/reference/data_utils.py:1141-1156,
+//                      which the reference needed Cython for)
 
 #include <cstdint>
 #include <cstdio>
@@ -53,9 +59,109 @@ inline uint64_t parse_hex(const char* p, const char* end) {
   return v;
 }
 
+// Insertion-order flat hash map int32 -> dense id (linear probing,
+// power-of-2 capacity, 0.7 load factor). ~15 ns/op vs ~100 ns for
+// std::unordered_map — the dict/remap stages are pure lookup streams.
+struct FlatMap {
+  std::vector<int32_t> keys;
+  std::vector<int32_t> vals;   // -1 = empty slot
+  std::vector<int32_t> order;  // dictionary in first-appearance order
+  size_t mask = 0;
+  size_t used = 0;
+
+  void init(size_t cap) {
+    size_t sz = 64;
+    while (sz < cap * 2) sz <<= 1;
+    keys.assign(sz, 0);
+    vals.assign(sz, -1);
+    mask = sz - 1;
+    used = 0;
+  }
+  static inline uint32_t hash(int32_t k) {
+    uint32_t x = static_cast<uint32_t>(k);
+    x *= 0x9E3779B9u;
+    x ^= x >> 16;
+    return x;
+  }
+  void insert_raw(int32_t k, int32_t v) {
+    size_t i = hash(k) & mask;
+    while (vals[i] >= 0) i = (i + 1) & mask;
+    keys[i] = k;
+    vals[i] = v;
+  }
+  void grow() {
+    std::vector<int32_t> ok(std::move(keys)), ov(std::move(vals));
+    size_t sz = (mask + 1) * 2;
+    keys.assign(sz, 0);
+    vals.assign(sz, -1);
+    mask = sz - 1;
+    for (size_t i = 0; i < ov.size(); ++i)
+      if (ov[i] >= 0) insert_raw(ok[i], ov[i]);
+  }
+  inline int32_t get_or_add(int32_t k) {
+    size_t i = hash(k) & mask;
+    while (vals[i] >= 0) {
+      if (keys[i] == k) return vals[i];
+      i = (i + 1) & mask;
+    }
+    int32_t v = static_cast<int32_t>(order.size());
+    keys[i] = k;
+    vals[i] = v;
+    order.push_back(k);
+    if (++used * 10 > (mask + 1) * 7) grow();
+    return v;
+  }
+  inline int32_t get(int32_t k) const {
+    size_t i = hash(k) & mask;
+    while (vals[i] >= 0) {
+      if (keys[i] == k) return vals[i];
+      i = (i + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+struct DictBuild {
+  std::vector<FlatMap> cols;
+};
+
 }  // namespace
 
 extern "C" {
+
+// ---- categorical dictionary build / remap ---------------------------------
+
+void* fp_dict_new(long ncols) {
+  DictBuild* d = new DictBuild();
+  d->cols.resize(ncols);
+  for (auto& c : d->cols) c.init(1024);
+  return d;
+}
+
+void fp_dict_free(void* h) { delete static_cast<DictBuild*>(h); }
+
+// feed one column chunk; returns the dictionary size after the chunk
+long fp_dict_update(void* h, long j, const int32_t* col, long n) {
+  FlatMap& m = static_cast<DictBuild*>(h)->cols[j];
+  for (long i = 0; i < n; ++i) m.get_or_add(col[i]);
+  return static_cast<long>(m.order.size());
+}
+
+long fp_dict_size(void* h, long j) {
+  return static_cast<long>(static_cast<DictBuild*>(h)->cols[j].order.size());
+}
+
+void fp_dict_uniques(void* h, long j, int32_t* out) {
+  const FlatMap& m = static_cast<DictBuild*>(h)->cols[j];
+  memcpy(out, m.order.data(), m.order.size() * sizeof(int32_t));
+}
+
+// out[i] = dense id of col[i] (-1 if unseen — callers feed the same data)
+void fp_dict_remap(void* h, long j, const int32_t* col, long n,
+                   int32_t* out) {
+  const FlatMap& m = static_cast<DictBuild*>(h)->cols[j];
+  for (long i = 0; i < n; ++i) out[i] = m.get(col[i]);
+}
 
 // splitmix64: per-LINE-INDEX sub-sampling decision, deterministic for a
 // given seed regardless of thread count / chunking

@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pre-coalesce duplicate rows before the pallas "
                         "kernel so adagrad-family momentum matches the "
                         "reference's grad.coalesce() exactly (costs a sort)")
+    p.add_argument("--no-write-only-update", action="store_true",
+                   default=False,
+                   help="force the row-RMW kernel instead of the write-only "
+                        "sparse update (ablation/debug)")
     p.add_argument("--emb-split-threshold", type=int, default=65536,
                    help="tables with more rows get their own group stores "
                         "(kernel-updated); 0 disables splitting")
@@ -326,6 +330,7 @@ def config_from_args(args) -> DLRMConfig:
         sparse_update_impl=args.sparse_update_impl,
         interaction_impl=args.interaction_impl,
         exact_row_momentum=args.exact_row_momentum,
+        write_only_update=not args.no_write_only_update,
         emb_split_threshold=args.emb_split_threshold,
     )
 
@@ -348,13 +353,15 @@ def ensure_preprocessed(args) -> None:
     days = 7 if args.data_set == "kaggle" else 24
     rank0_print(f"preprocessing {args.raw_data_file} -> {prefix} ...")
     day_files = split_kaggle_train_txt(args.raw_data_file, days)
-    preprocess_criteo(
+    info = preprocess_criteo(
         day_files, prefix,
         max_ind_range=args.max_ind_range,
         sub_sample_rate=args.data_sub_sample_rate,
         randomize=args.data_randomize,
         seed=args.numpy_rand_seed,
+        nprocs=(os.cpu_count() or 1) if args.dataset_multiprocessing else 1,
     )
+    rank0_print(f"preprocess stage seconds: {info['stage_seconds']}")
 
 
 def make_data(args, cfg):

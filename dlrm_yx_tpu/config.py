@@ -92,6 +92,11 @@ class DLRMConfig:
     # (rwsadagrad.py:98); costs a sort in the hot path — off by default
     # because big hashed tables rarely see intra-step duplicates
     exact_row_momentum: bool = False
+    # the write-only sparse update (ops/pallas_sparse_update.
+    # sparse_rows_overwrite: new = gathered_row + delta, one DMA issue per
+    # row instead of the RMW pair) — ablation/debug switch; off forces the
+    # row-RMW kernel on the same routing
+    write_only_update: bool = True
     # tables with rows <= this go into separate small group stores whose XLA
     # scatter is cheap; bigger tables' stores route through the RMW kernel
     # when sparse_update_impl='pallas' (0 disables splitting)

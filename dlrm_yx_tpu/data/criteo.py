@@ -135,6 +135,17 @@ def split_kaggle_train_txt(raw_path: str, days: int = 7) -> List[str]:
     return out
 
 
+def _parse_one_day(args):
+    """Stage-1 worker (module-level so multiprocessing can pickle it).
+    Sub-sampling is seeded per-day (seed + day index) so the kept row set
+    is identical whether days run in-process or across a Pool."""
+    df, day_npz, max_ind_range, sub_sample_rate, seed, compress = args
+    y, xi, xc = parse_raw_tsv(df, max_ind_range, sub_sample_rate, seed=seed)
+    save = np.savez_compressed if compress else np.savez
+    save(day_npz, X_int=xi, X_cat_t=np.ascontiguousarray(xc.T), y=y)
+    return len(y)
+
+
 def preprocess_criteo(
     day_files: Sequence[str],
     prefix: str,
@@ -144,6 +155,8 @@ def preprocess_criteo(
     data_split: str = "train",
     seed: int = 123,
     concat_output: Optional[str] = None,
+    compress: bool = False,
+    nprocs: int = 1,
 ) -> dict:
     """Run the full offline pipeline on per-day raw files, writing every
     artifact listed in the module docstring under ``prefix``.
@@ -153,103 +166,179 @@ def preprocess_criteo(
       (it becomes test/val), matching concatCriteoAdData semantics.
     concat_output: if set, additionally writes one concatenated npz (the
       Kaggle non-memmap flow) at ``{concat_output}.npz``.
-    Returns {'counts': [26], 'total_per_file': [days]}.
+    compress: zlib-compress the npz artifacts (np.load reads both forms
+      transparently, so every reader — including the reference's — keeps
+      working; deflating the same tensors up to four times was the
+      dominant cost of the whole pipeline). Default off; pass True for
+      the reference's smaller on-disk footprint.
+    nprocs: day-parallel fan-out for the parse stage (the reference's
+      --dataset-multiprocessing, /root/reference/data_utils.py:1096-1130);
+      1 = in-process.
+    Returns {'counts': [26], 'total_per_file': [days], 'stage_seconds'} —
+    the last is the per-stage wall budget (parse/dict/remap/shuffle).
     """
+    import time as _time
+
     rng = np.random.RandomState(seed)
     days = len(day_files)
-    total_per_file = []
+    total_per_file: List[int] = [0] * days
+    save = np.savez_compressed if compress else np.savez
+    stage_s = {}
 
     # stage 1: parse raw -> day npz (skip existing)
+    t0 = _time.perf_counter()
+    todo = []
     for i, df in enumerate(day_files):
         day_npz = f"{prefix}_day_{i}.npz"
         if os.path.exists(day_npz):
             with np.load(day_npz) as d:
-                total_per_file.append(len(d["y"]))
-            continue
-        y, xi, xc = parse_raw_tsv(
-            df, max_ind_range, sub_sample_rate, rng, seed=seed + i
-        )
-        np.savez_compressed(
-            day_npz, X_int=xi, X_cat_t=np.ascontiguousarray(xc.T), y=y
-        )
-        total_per_file.append(len(y))
-    np.savez_compressed(
+                total_per_file[i] = len(d["y"])
+        else:
+            todo.append((i, (df, day_npz, max_ind_range, sub_sample_rate,
+                             seed + i, compress)))
+    if todo and nprocs > 1:
+        from multiprocessing import Pool
+
+        with Pool(min(nprocs, len(todo))) as pool:
+            for (i, _), n in zip(
+                todo, pool.map(_parse_one_day, [a for _, a in todo])
+            ):
+                total_per_file[i] = n
+    else:
+        for i, args in todo:
+            total_per_file[i] = _parse_one_day(args)
+    save(
         f"{prefix}_day_count.npz", total_per_file=np.array(total_per_file)
     )
+    stage_s["parse"] = _time.perf_counter() - t0
 
     # stage 2: dictionaries — first-appearance order across days (the
-    # reference's dict-insertion order, data_utils.py:1141-1156), built
-    # vectorized per column
+    # reference's dict-insertion order, data_utils.py:1141-1156). With the
+    # native library: one streaming pass through insertion-order flat hash
+    # maps (csrc/fastparse.cpp FlatMap, ~15 ns/row — replaces per-day
+    # sort-based np.unique + membership, the reference's Cython stage).
+    # Numpy fallback carries a SORTED copy of each dictionary so per-day
+    # membership is one searchsorted instead of np.isin re-sorting the
+    # whole dictionary every day.
+    t0 = _time.perf_counter()
+    db = None
+    try:
+        from dlrm_yx_tpu.data import fastparse as _fp
+
+        if _fp.available():
+            db = _fp.DictBuilder(SPA)
+    except Exception:
+        db = None
     uniques: List[np.ndarray] = [np.zeros(0, np.int32) for _ in range(SPA)]
+    uniq_sorted: List[np.ndarray] = [np.zeros(0, np.int32) for _ in range(SPA)]
     for i in range(days):
         with np.load(f"{prefix}_day_{i}.npz") as d:
             xct = d["X_cat_t"]
         for j in range(SPA):
             col = xct[j]
+            if db is not None:
+                db.update(j, col)
+                continue
             # new values in first-appearance order within this day
             _, first_idx = np.unique(col, return_index=True)
             day_new = col[np.sort(first_idx)]
-            mask = ~np.isin(day_new, uniques[j], assume_unique=False)
-            uniques[j] = np.concatenate([uniques[j], day_new[mask]])
+            us = uniq_sorted[j]
+            if len(us):
+                pos = np.minimum(
+                    np.searchsorted(us, day_new), len(us) - 1
+                )
+                fresh = day_new[us[pos] != day_new]
+            else:
+                fresh = day_new
+            if len(fresh):
+                uniques[j] = np.concatenate([uniques[j], fresh])
+                uniq_sorted[j] = np.sort(np.concatenate([us, fresh]))
+    if db is not None:
+        uniques = [db.uniques(j) for j in range(SPA)]
     counts = np.array([len(u) for u in uniques], dtype=np.int32)
     for j in range(SPA):
-        np.savez_compressed(
+        save(
             f"{prefix}_fea_dict_{j}.npz", unique=uniques[j].astype(np.int32)
         )
-    np.savez_compressed(f"{prefix}_fea_count.npz", counts=counts)
+    save(f"{prefix}_fea_count.npz", counts=counts)
+    stage_s["dict"] = _time.perf_counter() - t0
 
-    # remap helper: raw id -> dense id (position in first-appearance list)
+    # remap helper for the numpy fallback: raw id -> dense id (position in
+    # the first-appearance list)
     remaps = []
-    for j in range(SPA):
-        order = np.argsort(uniques[j], kind="stable")
-        remaps.append((uniques[j][order], order))
-
-    # stage 3: processed npz (dense ids, clamped dense features)
-    for i in range(days):
-        out = f"{prefix}_day_{i}_processed.npz"
-        if os.path.exists(out):
-            continue
-        with np.load(f"{prefix}_day_{i}.npz") as d:
-            xct, xi, y = d["X_cat_t"], d["X_int"], d["y"]
-        xc = np.empty((xct.shape[1], SPA), dtype=np.int32)
+    if db is None:
         for j in range(SPA):
-            sorted_vals, ids = remaps[j]
-            pos = np.searchsorted(sorted_vals, xct[j])
-            xc[:, j] = ids[pos]
-        xi = xi.copy()
-        xi[xi < 0] = 0
-        np.savez_compressed(out, X_cat=xc, X_int=xi, y=y)
+            order = np.argsort(uniques[j], kind="stable")
+            remaps.append((uniques[j][order], order.astype(np.int32)))
 
-    # stage 4: reorder/shuffle -> per-day reordered npz
+    # stages 3+4, fused per day (one read instead of two): processed npz
+    # (dense ids, clamped dense features) then reorder/shuffle npz. Both
+    # artifacts are still written; the rng.permutation stream is drawn in
+    # day order exactly as the unfused loops did.
+    stage_s["remap"] = 0.0
+    stage_s["shuffle"] = 0.0
     for i in range(days):
-        out = f"{prefix}_day_{i}_reordered.npz"
-        if os.path.exists(out):
-            continue
-        with np.load(f"{prefix}_day_{i}_processed.npz") as d:
-            xc, xi, y = d["X_cat"], d["X_int"], d["y"]
+        p_out = f"{prefix}_day_{i}_processed.npz"
+        r_out = f"{prefix}_day_{i}_reordered.npz"
         is_train_day = (data_split != "train") or (i < days - 1)
-        if randomize in ("day", "total") and is_train_day and i < days - 1:
+        want_shuffle = (
+            randomize in ("day", "total") and is_train_day and i < days - 1
+        )
+        if os.path.exists(p_out):
+            xc = xi = y = None
+        else:
+            t0 = _time.perf_counter()
+            with np.load(f"{prefix}_day_{i}.npz") as d:
+                xct, xi, y = d["X_cat_t"], d["X_int"], d["y"]
+            xc = np.empty((xct.shape[1], SPA), dtype=np.int32)
+            for j in range(SPA):
+                if db is not None:
+                    xc[:, j] = db.remap(j, xct[j])
+                else:
+                    sorted_vals, ids = remaps[j]
+                    pos = np.searchsorted(sorted_vals, xct[j])
+                    xc[:, j] = ids[pos]
+            xi = xi.copy()
+            xi[xi < 0] = 0
+            save(p_out, X_cat=xc, X_int=xi, y=y)
+            stage_s["remap"] += _time.perf_counter() - t0
+        if os.path.exists(r_out):
+            continue
+        t0 = _time.perf_counter()
+        if xc is None:  # resuming past an existing processed file
+            with np.load(p_out) as d:
+                xc, xi, y = d["X_cat"], d["X_int"], d["y"]
+        if want_shuffle:
             perm = rng.permutation(len(y))
             xc, xi, y = xc[perm], xi[perm], y[perm]
-        np.savez_compressed(out, X_cat=xc, X_int=xi, y=y)
+        save(r_out, X_cat=xc, X_int=xi, y=y)
+        stage_s["shuffle"] += _time.perf_counter() - t0
+    if db is not None:
+        db.free()
 
     # optional: one concatenated file (Kaggle flow)
     if concat_output:
+        t0 = _time.perf_counter()
         xs, ys, cs = [], [], []
         for i in range(days):
             with np.load(f"{prefix}_day_{i}_processed.npz") as d:
                 cs.append(d["X_cat"])
                 xs.append(d["X_int"])
                 ys.append(d["y"])
-        np.savez_compressed(
+        save(
             f"{concat_output}.npz",
             X_cat=np.concatenate(cs),
             X_int=np.concatenate(xs),
             y=np.concatenate(ys),
             counts=counts,
         )
+        stage_s["concat"] = _time.perf_counter() - t0
 
-    return {"counts": counts, "total_per_file": np.array(total_per_file)}
+    return {
+        "counts": counts,
+        "total_per_file": np.array(total_per_file),
+        "stage_seconds": {k: round(v, 3) for k, v in stage_s.items()},
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,22 @@ def _build() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.fp_dict_new.restype = ctypes.c_void_p
+            lib.fp_dict_new.argtypes = [ctypes.c_long]
+            lib.fp_dict_free.argtypes = [ctypes.c_void_p]
+            lib.fp_dict_update.restype = ctypes.c_long
+            lib.fp_dict_update.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib.fp_dict_size.restype = ctypes.c_long
+            lib.fp_dict_size.argtypes = [ctypes.c_void_p, ctypes.c_long]
+            lib.fp_dict_uniques.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ]
+            lib.fp_dict_remap.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+                ctypes.c_long, ctypes.c_void_p,
+            ]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -87,6 +103,53 @@ def parse_raw_tsv(
     if n < 0:
         raise IOError(f"parse failed for {path}")
     return y[:n].copy(), xi[:n].copy(), xc[:n].copy()
+
+
+class DictBuilder:
+    """Insertion-order categorical dictionaries over ``ncols`` columns —
+    the hash-based replacement for the numpy sort-based dict/remap stages
+    (one pass to build first-appearance dictionaries, O(1)/row remap).
+    Wraps the C++ FlatMap handle; free() (or the GC) releases it."""
+
+    def __init__(self, ncols: int):
+        lib = _build()
+        assert lib is not None
+        self._lib = lib
+        self._h = lib.fp_dict_new(ncols)
+        self.ncols = ncols
+
+    def update(self, j: int, col: np.ndarray) -> int:
+        col = np.ascontiguousarray(col, dtype=np.int32)
+        return self._lib.fp_dict_update(
+            self._h, j, col.ctypes.data, len(col)
+        )
+
+    def size(self, j: int) -> int:
+        return self._lib.fp_dict_size(self._h, j)
+
+    def uniques(self, j: int) -> np.ndarray:
+        out = np.empty(self.size(j), dtype=np.int32)
+        self._lib.fp_dict_uniques(self._h, j, out.ctypes.data)
+        return out
+
+    def remap(self, j: int, col: np.ndarray) -> np.ndarray:
+        col = np.ascontiguousarray(col, dtype=np.int32)
+        out = np.empty(len(col), dtype=np.int32)
+        self._lib.fp_dict_remap(
+            self._h, j, col.ctypes.data, len(col), out.ctypes.data
+        )
+        return out
+
+    def free(self):
+        if self._h:
+            self._lib.fp_dict_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.free()
+        except Exception:
+            pass
 
 
 def read_bin_batch(

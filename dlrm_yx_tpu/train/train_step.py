@@ -247,10 +247,17 @@ def make_train_step(
 
     def step(params, opt_state, batch, iteration):
         lr = lr_fn(iteration) if lr_fn is not None else jnp.float32(opt.lr)
-        pooled, raw_rows = lookup_all_groups(
-            params, groups, batch.indices, batch.weights, config.lookup_impl,
-            want_rows=True,
-        )
+        if config.write_only_update:
+            pooled, raw_rows = lookup_all_groups(
+                params, groups, batch.indices, batch.weights,
+                config.lookup_impl, want_rows=True,
+            )
+        else:
+            pooled = lookup_all_groups(
+                params, groups, batch.indices, batch.weights,
+                config.lookup_impl,
+            )
+            raw_rows = None
         qr_pooled = (
             qr_lookup_all(params, config, batch.indices, batch.weights)
             if has_qr

@@ -127,6 +127,34 @@ def test_parse_raw_tsv_sub_sampling_seeded(tmp_path, monkeypatch):
     monkeypatch.undo()
 
 
+def test_dict_builder_matches_numpy_first_appearance():
+    """The native insertion-order hash dict must reproduce the numpy
+    fallback's first-appearance dictionaries and remap ids exactly."""
+    from dlrm_yx_tpu.data import fastparse
+
+    if not fastparse.available():
+        import pytest
+
+        pytest.skip("no native library")
+    r = np.random.RandomState(0)
+    days = [r.randint(-50, 60, 5000).astype(np.int32) for _ in range(3)]
+    db = fastparse.DictBuilder(1)
+    for d in days:
+        db.update(0, d)
+    got_u = db.uniques(0)
+    # numpy reference: first appearance across the concatenated stream
+    allv = np.concatenate(days)
+    _, first = np.unique(allv, return_index=True)
+    want_u = allv[np.sort(first)]
+    np.testing.assert_array_equal(got_u, want_u)
+    # remap: position in the first-appearance list
+    lut = {int(v): i for i, v in enumerate(want_u)}
+    got = db.remap(0, days[1])
+    want = np.array([lut[int(v)] for v in days[1]], np.int32)
+    np.testing.assert_array_equal(got, want)
+    db.free()
+
+
 def test_preprocess_pipeline_and_loader(tmp_path):
     rng = np.random.RandomState(1)
     days = 3
