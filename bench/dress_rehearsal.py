@@ -35,8 +35,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def streaming_auc_check(n=8_000_000, bins=1 << 14, seed=5):
+    """Streaming-vs-exact AUC agreement at MLPerf-eval-like sample counts
+    (the real Terabyte eval is 89M samples; this proves the streaming
+    estimator at millions — VERDICT round-4 item 7). Returns the phase
+    dict; asserts agreement < 1e-3."""
+    from dlrm_yx_tpu.train.metrics import StreamingAUC, roc_auc_exact
+
+    r = np.random.RandomState(seed)
+    t0 = time.perf_counter()
+    t = (r.rand(n) < 0.25).astype(np.int8)
+    s = np.clip(0.2 * r.randn(n) + 0.35 + 0.18 * t, 0.0, 1.0).astype(
+        np.float32
+    )
+    sauc = StreamingAUC(bins=bins)
+    for lo in range(0, n, 1 << 20):  # streamed in ~1M chunks, like eval
+        sauc.add(s[lo:lo + (1 << 20)], t[lo:lo + (1 << 20)])
+    stream = sauc.auc()
+    exact = roc_auc_exact(s, t)
+    gap = abs(stream - exact)
+    assert gap < 1e-3, (stream, exact)
+    return {
+        "samples": n, "streaming": round(float(stream), 6),
+        "exact": round(float(exact), 6), "gap": round(float(gap), 7),
+        "seconds": round(time.perf_counter() - t0, 2),
+    }
+
+
 def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
-        test_freq=0, acc_margin=0.015):
+        test_freq=0, acc_margin=0.015, auc_threshold=0.0,
+        signal_scale=1.0, auc_check_samples=8_000_000):
     if force_cpu:
         # must land before ANY jax backend touch (rank0_print during
         # preprocessing initializes one); cli.main tolerates the repeat
@@ -53,13 +81,21 @@ def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
     ckpt = os.path.join(workdir, "ckpt")
     out = {"rows": rows}
 
+    # -- phase 0: streaming AUC at MLPerf-eval scale (host-only) ------------
+    if auc_check_samples:
+        out["streaming_auc_check"] = streaming_auc_check(auc_check_samples)
+        print(json.dumps({"phase": "streaming_auc_check",
+                          **out["streaming_auc_check"]}), flush=True)
+
     # -- phase 1: synthesize ------------------------------------------------
     if not os.path.exists(raw):
         t0 = time.perf_counter()
-        stats = generate(raw, rows, seed=0, progress=True)
+        stats = generate(raw, rows, seed=0, progress=True,
+                         signal_scale=signal_scale)
         out["synth"] = {
             "seconds": round(time.perf_counter() - t0, 2),
             "ctr": round(stats["ctr"], 4),
+            "signal_scale": signal_scale,
         }
         print(json.dumps({"phase": "synth", **out["synth"]}), flush=True)
 
@@ -111,18 +147,31 @@ def run(rows, workdir, mb=128, force_cpu=0, nepochs=1, seed=123,
                       "threshold": thr}), flush=True)
 
     # -- phase 3: train with early stop + best-ckpt saves ------------------
+    # auc_threshold > 0: stop on --mlperf-auc-threshold (the MLPerf run's
+    # stopping rule, dlrm_s_pytorch.py:1283-1284,2053-2083) instead of the
+    # accuracy threshold
     tf = test_freq or max(256, (total // mb) // 8)
+    stop_args = (
+        [f"--mlperf-auc-threshold={auc_threshold}"]
+        if auc_threshold > 0
+        else [f"--mlperf-acc-threshold={thr}"]
+    )
     t0 = time.perf_counter()
     s = cli_main(base_args + [
-        f"--save-model={ckpt}", f"--test-freq={tf}",
-        f"--mlperf-acc-threshold={thr}",
+        f"--save-model={ckpt}", f"--test-freq={tf}", *stop_args,
     ])
     out["train"] = {
         "seconds": round(time.perf_counter() - t0, 2),
         "accuracy": round(s.get("accuracy", 0.0), 4),
         "auc": round(s.get("streaming_auc", 0.0), 4),
-        "early_stopped": bool(s.get("accuracy", 0) > thr),
+        "early_stopped": bool(
+            s.get("streaming_auc", 0) > auc_threshold
+            if auc_threshold > 0
+            else s.get("accuracy", 0) > thr
+        ),
     }
+    if auc_threshold > 0:
+        out["train"]["auc_threshold"] = auc_threshold
     print(json.dumps({"phase": "train", **out["train"]}), flush=True)
     assert os.path.exists(os.path.join(ckpt, "meta.json")), "no checkpoint saved"
 
@@ -156,9 +205,17 @@ def main():
     p.add_argument("--force-cpu", type=int, default=0)
     p.add_argument("--nepochs", type=int, default=1)
     p.add_argument("--test-freq", type=int, default=0)
+    p.add_argument("--auc-threshold", type=float, default=0.0,
+                   help="early-stop on --mlperf-auc-threshold instead of "
+                        "the accuracy threshold (pairs with a stronger "
+                        "--signal-scale, e.g. 1.8 -> target ~0.75)")
+    p.add_argument("--signal-scale", type=float, default=1.0)
+    p.add_argument("--auc-check-samples", type=int, default=8_000_000)
     args = p.parse_args()
     run(args.rows, args.workdir, args.mini_batch_size, args.force_cpu,
-        args.nepochs, test_freq=args.test_freq)
+        args.nepochs, test_freq=args.test_freq,
+        auc_threshold=args.auc_threshold, signal_scale=args.signal_scale,
+        auc_check_samples=args.auc_check_samples)
 
 
 if __name__ == "__main__":

@@ -71,15 +71,22 @@ def generate(
     ctr: float = 0.25,
     chunk: int = 200_000,
     progress: bool = False,
+    signal_scale: float = 1.0,
 ) -> dict:
-    """Write ``rows`` TSV lines to ``out_path``. Returns summary stats."""
+    """Write ``rows`` TSV lines to ``out_path``. Returns summary stats.
+
+    signal_scale multiplies the hidden latent weights: 1.0 gives a
+    Criteo-like hard problem (Bayes AUC ~0.78); ~1.8 gives a strongly
+    learnable stream (Bayes AUC ~0.85) for AUC-threshold early-stop
+    rehearsals (--mlperf-auc-threshold semantics)."""
     rng = np.random.RandomState(seed)
     nf = len(VOCAB_SIZES)
     vocab_hex = [_hex_vocab(rng, n, j) for j, n in enumerate(VOCAB_SIZES)]
     # hidden model: per-category latent weights, stronger on small vocabs
     # (frequent categories get more training signal either way)
     lat = [
-        rng.randn(n).astype(np.float32) * (1.2 if n <= 1000 else 0.8)
+        rng.randn(n).astype(np.float32)
+        * (signal_scale * (1.2 if n <= 1000 else 0.8))
         for n in VOCAB_SIZES
     ]
     wd = (rng.randn(13) * 0.25).astype(np.float32)

@@ -27,7 +27,10 @@ def test_dress_rehearsal_small(tmp_path):
     out = run(
         rows=40_000, workdir=str(tmp_path), mb=64, force_cpu=0,
         nepochs=3, test_freq=150, acc_margin=0.005,
+        auc_check_samples=2_000_000,
     )
+    # streaming-vs-exact AUC agreement at millions of samples (phase 0)
+    assert out["streaming_auc_check"]["gap"] < 1e-3, out
     # the synthetic stream is learnable: the model must beat always-majority
     assert out["learned_better_than_base"], out
     assert out["train"]["accuracy"] > out["base_rate"], out
@@ -50,3 +53,28 @@ def test_dress_rehearsal_small(tmp_path):
     ) as d:
         counts = d["counts"]
     assert len(counts) == 26 and counts.min() >= 2
+
+
+def test_dress_rehearsal_auc_threshold(tmp_path):
+    """AUC-threshold early-stop semantics (--mlperf-auc-threshold): a
+    strongly learnable stream (signal_scale 1.8) must cross a meaningful
+    AUC target and stop on it."""
+    import importlib.util
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dress_rehearsal2", os.path.join(root, "bench", "dress_rehearsal.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["dress_rehearsal2"] = mod
+    spec.loader.exec_module(mod)
+
+    out = mod.run(
+        rows=40_000, workdir=str(tmp_path), mb=64, force_cpu=0,
+        nepochs=3, test_freq=150, auc_threshold=0.70, signal_scale=1.8,
+        auc_check_samples=0,
+    )
+    assert out["train"]["auc_threshold"] == 0.70
+    assert out["train"]["early_stopped"], out
+    assert out["train"]["auc"] > 0.70, out
