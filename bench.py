@@ -59,6 +59,25 @@ def main():
     cfg = dataclasses.replace(
         cfg, compute_dtype="bfloat16", sparse_update_impl="pallas"
     )
+    # whole-step A/B hooks (VERDICT round-4 item 3): the same headline
+    # measurement with the fused interaction kernel or the RMW-vs-
+    # write-only update ablation
+    import sys
+
+    if "--interaction-impl" in sys.argv:
+        cfg = dataclasses.replace(
+            cfg,
+            interaction_impl=sys.argv[sys.argv.index("--interaction-impl") + 1],
+        )
+    if "--no-write-only-update" in sys.argv:
+        cfg = dataclasses.replace(cfg, write_only_update=False)
+    if "--emb-split-threshold" in sys.argv:
+        cfg = dataclasses.replace(
+            cfg,
+            emb_split_threshold=int(
+                sys.argv[sys.argv.index("--emb-split-threshold") + 1]
+            ),
+        )
     params = init_dlrm_on_device(cfg, seed=123)
     groups = model_groups(cfg)  # must match the stores init_dlrm built
     opt = OptConfig(name="rwsadagrad", lr=0.01)

@@ -295,21 +295,39 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
     ]
 
     n_train = min(steps, 1000)  # distinct batches; cycled if steps exceed
-    raw = make_trace_batches(
-        dist_file, rows, base.ln_bot[0], batch, n_train + n_eval, 1,
-        True, seed=1000,
-    )
-    rr = np.random.RandomState(1001)
-    batches = []
-    for b in raw:
-        idx = np.asarray(b.indices)
-        signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
-        p = 1.0 / (1.0 + np.exp(-signal))
-        batches.append(Batch(
-            dense=np.asarray(b.dense), indices=idx,
-            weights=np.asarray(b.weights),
-            labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
-        ))
+    # the trace-driven generation takes ~1 s/batch on this host (~16 min
+    # for the full run) and is deterministic — cache the stacked arrays so
+    # ablation re-runs skip straight to the device phase
+    cache = f"/tmp/auc_scaled_cache_{n_train}_{n_eval}_{batch}_{ind_cap}.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as d:
+            stk = {k: d[k] for k in ("dense", "indices", "weights", "labels")}
+        batches = [
+            Batch(*(stk[f][i] for f in ("dense", "indices", "weights",
+                                        "labels")))
+            for i in range(stk["dense"].shape[0])
+        ]
+        print(json.dumps({"batch_cache": "hit", "path": cache}), flush=True)
+    else:
+        raw = make_trace_batches(
+            dist_file, rows, base.ln_bot[0], batch, n_train + n_eval, 1,
+            True, seed=1000,
+        )
+        rr = np.random.RandomState(1001)
+        batches = []
+        for b in raw:
+            idx = np.asarray(b.indices)
+            signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
+            p = 1.0 / (1.0 + np.exp(-signal))
+            batches.append(Batch(
+                dense=np.asarray(b.dense), indices=idx,
+                weights=np.asarray(b.weights),
+                labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
+            ))
+        np.savez(cache, **{
+            f: np.stack([np.asarray(getattr(b, f)) for b in batches])
+            for f in ("dense", "indices", "weights", "labels")
+        })
     train_b, eval_b = batches[:n_train], batches[n_train:]
 
     configs = (
