@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 
 def coalesce_rows(
-    flat_idx: jax.Array, flat_g: jax.Array, sentinel: int
-) -> Tuple[jax.Array, jax.Array]:
+    flat_idx: jax.Array, flat_g: jax.Array, sentinel: int, aux=None
+):
     """Sum gradient rows that share an index.
 
     flat_idx: [K] int32 row ids (may repeat).
@@ -25,9 +25,14 @@ def coalesce_rows(
     sentinel: an id strictly greater than any valid row id; slots in the
       output that do not correspond to a unique input index get this id so a
       downstream ``.at[].add(mode='drop')`` scatter ignores them.
+    aux: optional [K, W] per-occurrence payload carried by REPRESENTATIVE
+      (not summed) — duplicate occurrences of one row hold identical aux
+      (e.g. the pre-update store row the forward lookup gathered), so any
+      member stands for the segment.
 
-    Returns (unique_idx [K], summed_g like flat_g): unique indices packed at
-    the front (ascending), remainder = sentinel with zero grads.
+    Returns (unique_idx [K], summed_g like flat_g[, aux_rep like aux]):
+    unique indices packed at the front (ascending), remainder = sentinel
+    with zero grads.
     """
     k = flat_idx.shape[0]
     order = jnp.argsort(flat_idx)
@@ -42,4 +47,9 @@ def coalesce_rows(
     # representative index per segment: scatter (first occurrence wins — all
     # members share the same index anyway)
     uniq = jnp.full((k,), sentinel, dtype=s_idx.dtype).at[seg_id].set(s_idx, mode="drop")
-    return uniq, summed
+    if aux is None:
+        return uniq, summed
+    aux_rep = (
+        jnp.zeros_like(aux).at[seg_id].set(aux[order], mode="drop")
+    )
+    return uniq, summed, aux_rep

@@ -300,18 +300,25 @@ def sparse_update(
             # approximation. Pays a sort — which also collapses the
             # kernel's serialized conflict tail (duplicates are the only
             # conflict source beyond pack-sharing), a large win when
-            # duplicates are plentiful.
-            flat_idx, flat_g = coalesce_rows(flat_idx, flat_g, sentinel)
+            # duplicates are plentiful. Duplicate occurrences carry
+            # IDENTICAL pre-update rows, so old_rows coalesce by
+            # representative and the write-only path survives coalescing
+            # (round 5) — post-coalesce the stream is duplicate-free, so
+            # it hits sparse_rows_overwrite's no-conflict fast path.
+            if old_rows is not None:
+                flat_idx, flat_g, old_rows = coalesce_rows(
+                    flat_idx, flat_g, sentinel, aux=old_rows
+                )
+            else:
+                flat_idx, flat_g = coalesce_rows(flat_idx, flat_g, sentinel)
         active = (flat_idx < sentinel).astype(jnp.int32)
         # write-only fast path: when the caller supplies the CURRENT store
         # rows (the forward lookup's gather — L=1, natural layout), the
         # new row values are computable in-graph and the kernel skips its
         # per-row DMA READ phase (~half the 40 ns/row issue cost;
-        # ops/pallas_sparse_update.sparse_rows_overwrite). Coalescing
-        # reorders the stream, so exact_momentum keeps RMW.
+        # ops/pallas_sparse_update.sparse_rows_overwrite).
         can_overwrite = (
             old_rows is not None
-            and not exact_momentum
             and not stochastic_round
             and store.dtype == jnp.float32
         )
