@@ -71,6 +71,8 @@ def main():
         )
     if "--no-write-only-update" in sys.argv:
         cfg = dataclasses.replace(cfg, write_only_update=False)
+    if "--exact-row-momentum" in sys.argv:
+        cfg = dataclasses.replace(cfg, exact_row_momentum=True)
     if "--emb-split-threshold" in sys.argv:
         cfg = dataclasses.replace(
             cfg,
