@@ -5,6 +5,11 @@
 # after. Results land in bench/results/round5_device.log + per-bench JSON.
 cd "$(dirname "$0")/.."
 LOG=bench/results/round5_device.log
+# persistent compile cache: relay compiles are server-side and slow (the
+# quantized-eval step compiled in minutes even post-fix); cache hits make
+# re-runs and resumed windows cheap
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 run() {
   local t=$1; shift
   echo "=== $* ($(date -u +%H:%M:%S)) ===" | tee -a "$LOG"

@@ -58,6 +58,74 @@ def quantize_store(store: np.ndarray, bits: int = 8) -> QuantizedStore:
     )
 
 
+LANES = 128
+
+
+def fuse_qstore(qs: QuantizedStore):
+    """Serving layout: (data_phys [Rp, 128] uint8, sb [Rs, 128] f32).
+
+    The ONLY fast gather layout on TPU is a 128-lane minor dim: measured
+    9.3 ns/row for uint8/f32 [R,128] vs 43-516 ns/row for 34/64/68/136-
+    lane operands (v5e, MEASUREMENTS.md round 5). So:
+      * quantized row bytes pack ``128 // cols`` logical rows per
+        128-lane physical row (cols = dim for int8, dim/2 for int4);
+      * every row's (scale, bias) f32 pair packs 64 pairs per 128-lane
+        sb row.
+    The lookup is two full-speed gathers + VPU lane selects — the role
+    of the reference's fbgemm fused rows (dlrm_s_pytorch.py:549-576),
+    laid out for the TPU's tiling instead of the CPU cache line."""
+    r = qs.data.shape[0]
+    cols = qs.data.shape[1]
+    packp = max(1, LANES // cols)
+    pad_r = (-r) % packp
+    data = qs.data
+    if cols * packp != LANES:
+        raise ValueError(f"quantized row bytes {cols} must divide 128")
+    if pad_r:
+        data = jnp.pad(data, ((0, pad_r), (0, 0)))
+    data_phys = data.reshape((r + pad_r) // packp, LANES)
+    sb = jnp.concatenate([qs.scale, qs.bias], axis=1)  # [R, 2] f32
+    pad_s = (-r) % 64
+    if pad_s:
+        sb = jnp.pad(sb, ((0, pad_s), (0, 0)))
+    sb_phys = sb.reshape((r + pad_s) // 64, LANES)
+    return data_phys, sb_phys
+
+
+def dequantize_fused_rows(fused, row_ids: jax.Array, bits: int, dim: int) -> jax.Array:
+    """Gather + dequantize from the fuse_qstore layout:
+    row_ids [...] -> [..., dim] f32. Keep row_ids >= 2-D when computed
+    in-graph (see dequantize_rows)."""
+    data_phys, sb_phys = fused
+    cols = dim if bits == 8 else dim // 2
+    packp = LANES // cols
+    q_phys = jnp.take(data_phys, row_ids // packp, axis=0)  # [..., 128]
+    if packp > 1:
+        sub = (row_ids % packp)[..., None].astype(jnp.int32)
+        data = jnp.zeros((*row_ids.shape, cols), jnp.uint8)
+        for i in range(packp):  # static unroll; packp is 1/2/4/8
+            blk = q_phys[..., i * cols:(i + 1) * cols]
+            data = jnp.where(sub == i, blk, data)
+    else:
+        data = q_phys
+    srow = jnp.take(sb_phys, row_ids // 64, axis=0)  # [..., 128]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * row_ids.ndim + (LANES,), row_ids.ndim
+    )
+    want = (2 * (row_ids % 64))[..., None]
+    scale = jnp.sum(jnp.where(lane == want, srow, 0.0), axis=-1,
+                    keepdims=True)
+    bias = jnp.sum(jnp.where(lane == want + 1, srow, 0.0), axis=-1,
+                   keepdims=True)
+    if bits == 4:
+        lo = (data & 0xF).astype(jnp.float32)
+        hi = (data >> 4).astype(jnp.float32)
+        vals = jnp.stack([lo, hi], axis=-1).reshape(*row_ids.shape, dim)
+    else:
+        vals = data.astype(jnp.float32)
+    return vals * scale + bias
+
+
 def dequantize_rows(qs: QuantizedStore, row_ids: jax.Array) -> jax.Array:
     """Gather + dequantize rows: row_ids [...] -> [..., dim] float32.
 
@@ -84,14 +152,20 @@ def quantized_lookup_group(
     row_offsets: Tuple[int, ...],
     indices: jax.Array,
     weights: jax.Array,
+    fused: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pooled-sum lookup on a quantized group store; same contract as
-    ops.embedding.lookup_group."""
+    ops.embedding.lookup_group. Pass ``fused`` (fuse_qstore output, built
+    ONCE outside the step) to serve from the one-gather fused layout."""
     t, b, l = indices.shape
     offs = jnp.asarray(np.array(row_offsets, dtype=np.int32))
     # [t, b*l] — NOT flat: see the compile-time note in dequantize_rows
     gidx = (indices + offs[:, None, None]).reshape(t, b * l)
-    rows = dequantize_rows(qs, gidx).reshape(t, b, l, qs.dim)
+    if fused is not None:
+        rows = dequantize_fused_rows(fused, gidx, qs.bits, qs.dim)
+    else:
+        rows = dequantize_rows(qs, gidx)
+    rows = rows.reshape(t, b, l, qs.dim)
     if l == 1:
         return rows[:, :, 0, :] * weights[:, :, 0][..., None]
     return jnp.einsum("tbl,tbld->tbd", weights, rows)
@@ -196,27 +270,21 @@ def make_fully_quantized_eval_step(
     quantized MLP towers — the reference's full --quantize-emb-with-bit +
     --quantize-mlp-with-bit inference configuration
     (dlrm_s_pytorch.py:549-576,1757-1781)."""
-    from dlrm_yx_tpu.models.dlrm import group_indices
     from dlrm_yx_tpu.ops.interaction import interact_features
     from dlrm_yx_tpu.ops.losses import predictions_from_logits
     from dlrm_yx_tpu.ops.mlp import apply_mlp
 
-    def eval_step(params, batch):
-        pooled = []
-        for qs, g in zip(qstores, groups):
-            pooled.append(
-                quantized_lookup_group(
-                    qs, g.row_offsets,
-                    group_indices(g, batch.indices),
-                    group_indices(g, batch.weights),
-                )
-            )
+    fused = [fuse_qstore(qs) for qs in qstores]  # once, outside the step
+    meta = [(qs.bits, qs.dim) for qs in qstores]
+
+    def inner(params, dense, gidx, wg, fused_arg):
+        pooled = _pooled_from_fused(meta, fused_arg, gidx, wg)
         from dlrm_yx_tpu.models.dlrm import assemble_slots
 
         if qbot is not None:
-            x = apply_quantized_mlp(batch.dense, qbot, config.sigmoid_bot)
+            x = apply_quantized_mlp(dense, qbot, config.sigmoid_bot)
         else:
-            x = apply_mlp(batch.dense, params["bot"], config.sigmoid_bot)
+            x = apply_mlp(dense, params["bot"], config.sigmoid_bot)
         ly = assemble_slots(pooled, groups, config)
         z = interact_features(
             x, ly, config.interaction, config.interact_itself
@@ -231,29 +299,81 @@ def make_fully_quantized_eval_step(
             )
         return predictions_from_logits(logits, config.loss_threshold)
 
-    return jax.jit(eval_step) if jit else eval_step
+    inner_j = jax.jit(inner) if jit else inner
+
+    def eval_step(params, batch):
+        gidx, wg = _prepare_group_inputs(
+            groups, batch.indices, batch.weights
+        )
+        return inner_j(params, batch.dense, gidx, wg, fused)
+
+    return eval_step
+
+
+def _prepare_group_inputs(groups, indices, weights):
+    """Per-group (gidx [t, b*l], w [t,b,l]) computed OUTSIDE the jitted
+    step (a handful of tiny take/add dispatches). Keeping the table-subset
+    take + offset add out of the serving graph matters enormously for
+    compile time on XLA:TPU: with the index derivation in-graph the
+    quantized eval compiled in minutes (bisected: gathers whose index
+    operand chains through an in-graph take explode a compile pass);
+    with argument indices the same graph compiles in seconds."""
+    from dlrm_yx_tpu.models.dlrm import group_indices
+
+    gidx, wg = [], []
+    for g in groups:
+        gi = group_indices(g, indices)
+        t, b, l = gi.shape
+        offs = jnp.asarray(np.array(g.row_offsets, dtype=np.int32))
+        gidx.append((gi + offs[:, None, None]).reshape(t, b * l))
+        wg.append(group_indices(g, weights))
+    return gidx, wg
+
+
+def _pooled_from_fused(meta, fused, gidx, wg):
+    """meta: [(bits, dim)] per group — static; fused tables arrive as
+    jit ARGUMENTS. Closing over the multi-GB stores embeds them as HLO
+    constants, which blew XLA:TPU compile time from ~9 s to minutes
+    (bisected on v5e — see MEASUREMENTS.md round 5)."""
+    pooled = []
+    for (bits, dim), fz, gi, w in zip(meta, fused, gidx, wg):
+        t, bl = gi.shape
+        _, b, l = w.shape
+        rows = dequantize_fused_rows(fz, gi, bits, dim).reshape(
+            t, b, l, dim
+        )
+        if l == 1:
+            pooled.append(rows[:, :, 0, :] * w[:, :, 0][..., None])
+        else:
+            pooled.append(jnp.einsum("tbl,tbld->tbd", w, rows))
+    return pooled
 
 
 def make_quantized_eval_step(config, groups, qstores: List[QuantizedStore], jit=True):
     """Inference forward with quantized tables (MLPs stay fp32/bf16 — MLP
     dynamic quantization is a separate concern the reference delegates to
-    torch.quantization; XLA's bf16 path covers the same intent)."""
+    torch.quantization; XLA's bf16 path covers the same intent).
+
+    Serves from the ONE-gather fused row layout (fuse_qstore) with the
+    per-group index prep outside the jit — both required to keep XLA:TPU
+    compile time sane (see _prepare_group_inputs / fuse_qstore notes)."""
     from dlrm_yx_tpu.models.dlrm import forward_from_pooled
     from dlrm_yx_tpu.ops.losses import predictions_from_logits
 
-    def eval_step(params, batch):
-        pooled = []
-        for qs, g in zip(qstores, groups):
-            from dlrm_yx_tpu.models.dlrm import group_indices
+    fused = [fuse_qstore(qs) for qs in qstores]  # once, outside the step
+    meta = [(qs.bits, qs.dim) for qs in qstores]
 
-            pooled.append(
-                quantized_lookup_group(
-                    qs, g.row_offsets,
-                    group_indices(g, batch.indices),
-                    group_indices(g, batch.weights),
-                )
-            )
-        logits = forward_from_pooled(params, config, groups, batch.dense, pooled)
+    def inner(params, dense, gidx, wg, fused_arg):
+        pooled = _pooled_from_fused(meta, fused_arg, gidx, wg)
+        logits = forward_from_pooled(params, config, groups, dense, pooled)
         return predictions_from_logits(logits, config.loss_threshold)
 
-    return jax.jit(eval_step) if jit else eval_step
+    inner_j = jax.jit(inner) if jit else inner
+
+    def eval_step(params, batch):
+        gidx, wg = _prepare_group_inputs(
+            groups, batch.indices, batch.weights
+        )
+        return inner_j(params, batch.dense, gidx, wg, fused)
+
+    return eval_step

@@ -172,6 +172,23 @@ def test_quantize_dequantize_error(bits):
     assert (np.abs(deq - store).max(axis=1) <= tol + 1e-6).all()
 
 
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_rows_match_unfused(bits):
+    """The one-gather fused row layout (quantized bytes + f32 scale/bias
+    bytes per row, the serving-path format) must dequantize identically to
+    the separate data/scale/bias arrays."""
+    from dlrm_yx_tpu.ops.quantized import dequantize_fused_rows, fuse_qstore
+
+    rng = np.random.RandomState(9)
+    store = rng.randn(64, 16).astype(np.float32)
+    qs = quantize_store(store, bits)
+    fused = fuse_qstore(qs)
+    ids = jnp.asarray(rng.randint(0, 64, (3, 7)).astype(np.int32))
+    want = np.asarray(dequantize_rows(qs, ids))
+    got = np.asarray(dequantize_fused_rows(fused, ids, qs.bits, qs.dim))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_quantized_eval_close_to_fp32():
     cfg = DLRMConfig.tiny()
     params = init_dlrm(cfg, seed=7)
