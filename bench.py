@@ -80,6 +80,21 @@ def main():
                 sys.argv[sys.argv.index("--emb-split-threshold") + 1]
             ),
         )
+    # measured duplicate density of the synthetic stream (the CLI measures
+    # the same statistic from the first real batch): uniform draws from
+    # the 1M-cap tables are ~99.7% unique, which keeps the cheaper
+    # per-occurrence momentum via the density routing; a dup-heavy stream
+    # would flip the same config to coalesce-exact (optimizer.py
+    # MOMENTUM_EXACT_DENSITY)
+    _r = np.random.RandomState(0)
+    _big = [i for i, n in enumerate(cfg.emb_rows)
+            if n > cfg.emb_split_threshold]
+    _idx = [_r.randint(0, cfg.emb_rows[i], BATCH * L) for i in _big]
+    hint = sum(len(np.unique(x)) for x in _idx) / max(
+        len(_big) * BATCH * L, 1
+    )
+    cfg = dataclasses.replace(cfg, dup_density_hint=float(hint))
+
     params = init_dlrm_on_device(cfg, seed=123)
     groups = model_groups(cfg)  # must match the stores init_dlrm built
     opt = OptConfig(name="rwsadagrad", lr=0.01)
@@ -127,7 +142,14 @@ def main():
     # estimator flattered by the relay.
     per_step_xplane = None
     try:
-        from bench.xputil import trace_steps
+        import os
+        import sys as _s
+
+        # bench.py the FILE shadows bench/ the package; import by path
+        _s.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench"
+        ))
+        from xputil import trace_steps
 
         us, _ = trace_steps(lambda n: run_chain(n, 1), 60)
         per_step_xplane = us / 1e6

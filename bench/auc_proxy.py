@@ -405,15 +405,26 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
         checkpoint(done)
         print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
         del params, st
+    # Round-5 note: the shipped default is now density-driven exact
+    # momentum (optimizer.MOMENTUM_EXACT_DENSITY) — with no measured hint,
+    # 'fast' coalesces exactly, i.e. it computes what the round-5 ablation
+    # ran as 'fast_exact_mom'. A checkpoint carrying the PRE-round-5
+    # per-occurrence 'fast' (gap 0.006 — the measurement that drove the
+    # default change) is evaluated via its 'fast_exact_mom' entry.
     gap_fast = abs(finals["fast"] - finals["exact"])
+    shipped = finals.get("fast_exact_mom", finals["fast"])
+    gap_shipped = abs(shipped - finals["exact"])
     gap_bf16 = abs(finals["fast_bf16_sr"] - finals["exact"])
-    ok = gap_fast <= 0.002 and gap_bf16 <= 0.004 and finals["exact"] > 0.7
+    ok = (
+        gap_shipped <= 0.002 and gap_bf16 <= 0.004 and finals["exact"] > 0.7
+    )
     summary = {
         "verdict": "ok" if ok else "FAIL",
         "final_auc": finals,
+        "gap_shipped_vs_exact": round(gap_shipped, 5),
         "gap_fast_vs_exact": round(gap_fast, 5),
         "gap_bf16_sr_vs_exact": round(gap_bf16, 5),
-        "criteria": "fast<=0.002, bf16_sr<=0.004, exact>0.7",
+        "criteria": "shipped<=0.002, bf16_sr<=0.004, exact>0.7",
     }
     checkpoint(done, summary)
     print(json.dumps(summary))

@@ -125,14 +125,17 @@ GTAB_MAX_BYTES = 9 << 20  # grad tables beyond this fall back to the
 
 
 def _apply_kernel(starts_ref, pos_hbm, seg_hbm, w_hbm, h_hbm, gtab_hbm,
-                  blk_ref, out_ref, gtab_v, pos_s, seg_s, h_s, w_s, sems,
+                  blk_ref, out_ref, gtab_v,
+                  pos_a, seg_a, w_a, h_a, pos_b, seg_b, w_b, h_b, sems,
                   *, n_blocks: int, dim: int, pack: int):
     """sorted_stream_add with the value expansion folded in: update row j
     is w[j] * gtab[seg[j]] (lane-masked to sub-slot h[j] when the store
     packs ``pack`` logical rows per physical row). Only SCALAR streams
     move per occurrence — the [K,128] value array never exists. Chunk
-    scalar DMAs are ping-pong double-buffered (slot = chunk parity) so
-    the RMW loop never stalls on a transfer."""
+    scalar DMAs ping-pong between the A and B scratch SETS (separate
+    refs, not dim-0 slices — Mosaic rejects unaligned dynamic dim-0
+    slicing of scratch) via a chunk-PAIR loop, so the RMW loop never
+    stalls on a transfer."""
     i = pl.program_id(0)
     j0 = starts_ref[i]
     j1 = starts_ref[i + 1]
@@ -153,43 +156,39 @@ def _apply_kernel(starts_ref, pos_hbm, seg_hbm, w_hbm, h_hbm, gtab_hbm,
     @pl.when(j1 > j0)
     def _():
         n_chunks = (j1 - j0 + CHUNK - 1) // CHUNK
+        bufs_a = (pos_a, seg_a, w_a, h_a, 0)
+        bufs_b = (pos_b, seg_b, w_b, h_b, 1)
 
-        def chunk_copies(c, slot):
+        def copies(c, bufs):
+            pos_s, seg_s, w_s, h_s, srow = bufs
             astart = ((j0 + c * CHUNK) // ALIGN) * ALIGN
             cps = [
                 pltpu.make_async_copy(
-                    pos_hbm.at[pl.ds(astart, CHP)], pos_s.at[slot],
-                    sems.at[slot, 0],
+                    pos_hbm.at[pl.ds(astart, CHP)], pos_s, sems.at[srow, 0]
                 ),
                 pltpu.make_async_copy(
-                    seg_hbm.at[pl.ds(astart, CHP)], seg_s.at[slot],
-                    sems.at[slot, 1],
+                    seg_hbm.at[pl.ds(astart, CHP)], seg_s, sems.at[srow, 1]
                 ),
                 pltpu.make_async_copy(
-                    w_hbm.at[pl.ds(astart, CHP)], w_s.at[slot],
-                    sems.at[slot, 2],
+                    w_hbm.at[pl.ds(astart, CHP)], w_s, sems.at[srow, 2]
                 ),
             ]
             if pack > 1:
                 cps.append(pltpu.make_async_copy(
-                    h_hbm.at[pl.ds(astart, CHP)], h_s.at[slot],
-                    sems.at[slot, 3],
+                    h_hbm.at[pl.ds(astart, CHP)], h_s, sems.at[srow, 3]
                 ))
             return cps
 
-        for cp in chunk_copies(0, 0):
-            cp.start()
+        def start(c, bufs):
+            for cp in copies(c, bufs):
+                cp.start()
 
-        def chunk_body(c, carry):
-            slot = c % 2
-            for cp in chunk_copies(c, slot):
+        def wait(c, bufs):
+            for cp in copies(c, bufs):
                 cp.wait()
 
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                for cp in chunk_copies(c + 1, (c + 1) % 2):
-                    cp.start()
-
+        def rmw_chunk(c, bufs):
+            pos_s, seg_s, w_s, h_s, _ = bufs
             base = j0 + c * CHUNK
             astart = (base // ALIGN) * ALIGN
             lo = base - astart
@@ -198,19 +197,17 @@ def _apply_kernel(starts_ref, pos_hbm, seg_hbm, w_hbm, h_hbm, gtab_hbm,
             q = n // 4
 
             def rmw(jj):
-                s = seg_s[slot, jj]
+                s = seg_s[jj]
                 g = gtab_v[pl.ds(s, 1), :]
-                p = pos_s[slot, jj] - row_base
+                p = pos_s[jj] - row_base
                 if pack > 1:
-                    wv = jnp.where(
-                        half == h_s[slot, jj], w_s[slot, jj], 0.0
-                    )
+                    wv = jnp.where(half == h_s[jj], w_s[jj], 0.0)
                     out_ref[pl.ds(p, 1), :] = (
                         out_ref[pl.ds(p, 1), :] + g * wv
                     )
                 else:
                     out_ref[pl.ds(p, 1), :] = (
-                        out_ref[pl.ds(p, 1), :] + g * w_s[slot, jj]
+                        out_ref[pl.ds(p, 1), :] + g * w_s[jj]
                     )
 
             # 4-way interleave (see _kernel): independent streams let the
@@ -229,9 +226,32 @@ def _apply_kernel(starts_ref, pos_hbm, seg_hbm, w_hbm, h_hbm, gtab_hbm,
                 return 0
 
             jax.lax.fori_loop(lo + 4 * q, hi, item, 0)
+
+        start(0, bufs_a)
+
+        def pair_body(p, carry):
+            c0 = 2 * p
+            wait(c0, bufs_a)
+
+            @pl.when(c0 + 1 < n_chunks)
+            def _():
+                start(c0 + 1, bufs_b)
+
+            rmw_chunk(c0, bufs_a)
+
+            @pl.when(c0 + 1 < n_chunks)
+            def _():
+                wait(c0 + 1, bufs_b)
+
+                @pl.when(c0 + 2 < n_chunks)
+                def _():
+                    start(c0 + 2, bufs_a)
+
+                rmw_chunk(c0 + 1, bufs_b)
+
             return carry
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.fori_loop(0, (n_chunks + 1) // 2, pair_body, 0)
 
 
 def sorted_stream_apply(
@@ -303,10 +323,14 @@ def sorted_stream_apply(
             ),
             scratch_shapes=[
                 pltpu.VMEM((s_rows, LANES), jnp.float32),  # resident gtab
-                pltpu.SMEM((2, CHP), jnp.int32),           # pos ping-pong
-                pltpu.SMEM((2, CHP), jnp.int32),           # seg
-                pltpu.SMEM((2, CHP), jnp.int32),           # h
-                pltpu.SMEM((2, CHP), jnp.float32),         # w
+                pltpu.SMEM((CHP,), jnp.int32),             # pos A
+                pltpu.SMEM((CHP,), jnp.int32),             # seg A
+                pltpu.SMEM((CHP,), jnp.float32),           # w A
+                pltpu.SMEM((CHP,), jnp.int32),             # h A
+                pltpu.SMEM((CHP,), jnp.int32),             # pos B
+                pltpu.SMEM((CHP,), jnp.int32),             # seg B
+                pltpu.SMEM((CHP,), jnp.float32),           # w B
+                pltpu.SMEM((CHP,), jnp.int32),             # h B
                 pltpu.SemaphoreType.DMA((3, 4)),
             ],
         ),

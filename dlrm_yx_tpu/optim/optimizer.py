@@ -197,6 +197,19 @@ def _acc_update_1d(
 # semantics, /root/reference/optim/rwsadagrad.py:98).
 DENSE_ACCUM_FACTOR = 8
 
+# Momentum-exactness routing (round 5): per-occurrence Adagrad-family
+# momentum (the fbgemm-style kernel-path approximation) measured 0.006
+# held-out AUC below coalesce-exact at 5000 steps on trace-driven
+# (realistically duplicate-heavy) streams, while coalesce-exact sat at
+# the ~0.001 chaos floor (bench/results/auc_scaled_5000.json). The
+# coalesce costs ~0.4 ms at headline shapes, which dup-LIGHT uniform
+# hashed streams shouldn't pay: when the measured unique-rows-per-
+# occurrence density (config.dup_density_hint, taken from a real first
+# batch) is above this threshold, <=5% of occurrences share a row and
+# per-occurrence is indistinguishable; below it — or when nothing was
+# measured — coalesce first (correctness-first default).
+MOMENTUM_EXACT_DENSITY = 0.95
+
 
 def _store_bytes(store: jax.Array) -> int:
     return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
@@ -290,6 +303,11 @@ def sparse_update(
         and not dense_by_density
         and _store_bytes(store) >= PALLAS_MIN_STORE_BYTES
     )
+    if use_kernel and opt.name != "sgd" and not exact_momentum:
+        # density-driven momentum exactness (see MOMENTUM_EXACT_DENSITY):
+        # unmeasured or dup-heavy streams coalesce first; measured
+        # dup-light streams keep the cheaper per-occurrence form
+        exact_momentum = not (density_hint >= MOMENTUM_EXACT_DENSITY)
     if use_kernel:
         if exact_momentum:
             # --exact-row-momentum (and the row-sharded path, which mixes

@@ -239,12 +239,14 @@ def test_size_class_gates_kernel_routing(monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(acc_exact), np.asarray(acc_got),
                                rtol=1e-6, atol=1e-6)
-    # sanity: with size_class=1 the kernel path WOULD be taken and its
-    # per-occurrence momentum differs on these duplicate-heavy updates
+    # sanity: with size_class=1 the kernel path WOULD be taken, and with a
+    # measured dup-LIGHT density hint its per-occurrence momentum differs
+    # on these duplicate-heavy updates (round 5: without a hint the
+    # density routing coalesces exactly by default)
     alt, _ = om.sparse_update(
         opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
         jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
-        size_class=1,
+        size_class=1, density_hint=1.0,
     )
     assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6
 
@@ -501,12 +503,24 @@ def test_exact_row_momentum_matches_xla_on_duplicates(monkeypatch):
             np.asarray(acc_got)[:-SENTINEL_ROWS], rtol=1e-5, atol=1e-5,
             err_msg=optname,
         )
-        # sanity: without the flag, per-occurrence momentum differs
+        # sanity: the per-occurrence mode (dup-light measured density)
+        # differs on these duplicate-heavy updates
         alt, _ = om.sparse_update(
             opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
             jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+            density_hint=1.0,
         )
         assert np.abs(np.asarray(alt) - np.asarray(exact)).max() > 1e-6
+
+        # round 5: with NO measured density the kernel path coalesces
+        # exactly by default (MOMENTUM_EXACT_DENSITY routing)
+        auto, _ = om.sparse_update(
+            opt, jnp.asarray(store), jnp.asarray(acc), jnp.asarray(idx),
+            jnp.asarray(g), 0.05, R, impl="pallas", interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(auto), np.asarray(exact), rtol=1e-5, atol=1e-5
+        )
 
 
 def test_write_only_update_matches_xla_in_train_step(monkeypatch):
