@@ -708,6 +708,7 @@ def make_hybrid_accum_train_step(
                 row_dim=row_dim_b,
                 exact_momentum=config.exact_row_momentum,
                 dim=plan.dim,
+                density_hint=config.dup_density_hint,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b
@@ -1237,6 +1238,7 @@ def make_hybrid_train_step(
                 exact_momentum=config.exact_row_momentum,
                 dim=plan.dim,
                 old_rows=old_bf,
+                density_hint=config.dup_density_hint,
             )
         else:
             store_b2, acc_b2 = store_b, acc_b

@@ -726,6 +726,7 @@ def make_row_sharded_train_step(
             exact_momentum=config.exact_row_momentum or plan.dups_in_big,
             dim=plan.dim,
             old_rows=old_rows,
+            density_hint=config.dup_density_hint,
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
@@ -917,6 +918,7 @@ def make_row_sharded_accum_train_step(
             interpret=jax.default_backend() != "tpu",
             exact_momentum=config.exact_row_momentum or plan.dups_in_big,
             dim=plan.dim,
+            density_hint=config.dup_density_hint,
         )
         new_params["emb"] = store2[None]
         if opt.name != "sgd":
