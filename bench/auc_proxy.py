@@ -249,7 +249,7 @@ def run_proxy_compression(steps=800, n_eval=16):
 
 
 def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
-                     ablate=False):
+                     ablate=False, uniform=False):
     """VERDICT round-3 item 9: guard the approximation semantics at scale.
 
     The FLAGSHIP 26-table Terabyte-MLPerf arch (row counts capped at
@@ -298,7 +298,11 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
     # the trace-driven generation takes ~1 s/batch on this host (~16 min
     # for the full run) and is deterministic — cache the stacked arrays so
     # ablation re-runs skip straight to the device phase
-    cache = f"/tmp/auc_scaled_cache_{n_train}_{n_eval}_{batch}_{ind_cap}.npz"
+    tag_u = "_uniform" if uniform else ""
+    cache = (
+        f"/tmp/auc_scaled_cache_{n_train}_{n_eval}_{batch}_{ind_cap}"
+        f"{tag_u}.npz"
+    )
     if os.path.exists(cache):
         with np.load(cache) as d:
             stk = {k: d[k] for k in ("dense", "indices", "weights", "labels")}
@@ -309,21 +313,41 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
         ]
         print(json.dumps({"batch_cache": "hit", "path": cache}), flush=True)
     else:
-        raw = make_trace_batches(
-            dist_file, rows, base.ln_bot[0], batch, n_train + n_eval, 1,
-            True, seed=1000,
-        )
-        rr = np.random.RandomState(1001)
-        batches = []
-        for b in raw:
-            idx = np.asarray(b.indices)
-            signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
-            p = 1.0 / (1.0 + np.exp(-signal))
-            batches.append(Batch(
-                dense=np.asarray(b.dense), indices=idx,
-                weights=np.asarray(b.weights),
-                labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
-            ))
+        if uniform:
+            # dup-LIGHT stream: uniform draws (the hashed-id regime the
+            # density routing keeps on per-occurrence momentum) — same
+            # hidden factor model, same eval protocol
+            ru = np.random.RandomState(1000)
+            rr = np.random.RandomState(1001)
+            batches = []
+            for _ in range(n_train + n_eval):
+                idx = np.stack([
+                    ru.randint(0, n, size=(batch, 1)) for n in rows
+                ]).astype(np.int32)
+                signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
+                p = 1.0 / (1.0 + np.exp(-signal))
+                batches.append(Batch(
+                    dense=ru.rand(batch, base.ln_bot[0]).astype(np.float32),
+                    indices=idx,
+                    weights=np.ones((t, batch, 1), np.float32),
+                    labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
+                ))
+        else:
+            raw = make_trace_batches(
+                dist_file, rows, base.ln_bot[0], batch, n_train + n_eval, 1,
+                True, seed=1000,
+            )
+            rr = np.random.RandomState(1001)
+            batches = []
+            for b in raw:
+                idx = np.asarray(b.indices)
+                signal = sum(factors[k][idx[k, :, 0]] for k in range(t))
+                p = 1.0 / (1.0 + np.exp(-signal))
+                batches.append(Batch(
+                    dense=np.asarray(b.dense), indices=idx,
+                    weights=np.asarray(b.weights),
+                    labels=(rr.rand(len(p)) < p).astype(np.float32)[:, None],
+                ))
         np.savez(cache, **{
             f: np.stack([np.asarray(getattr(b, f)) for b in batches])
             for f in ("dense", "indices", "weights", "labels")
@@ -338,6 +362,17 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
             stochastic_rounding=True,
         )),
     )
+    if uniform:
+        # the question on a dup-light stream is whether PER-OCCURRENCE
+        # momentum (what the density routing keeps there) matches exact —
+        # force it via a measured-density-style hint
+        configs = (
+            ("exact", dict(emb_dtype="float32", sparse_update_impl="xla")),
+            ("fast_approx", dict(
+                emb_dtype="float32", sparse_update_impl="pallas",
+                dup_density_hint=1.0,
+            )),
+        )
     if ablate:
         # isolate the two approximations the 'fast' config stacks
         # (first run: fast trailed exact by 0.006 AUC — which one is it?)
@@ -353,7 +388,7 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
         )
     ckpt_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results",
-        f"auc_scaled_{steps}.json",
+        f"auc_scaled_{steps}{tag_u}.json",
     )
     done = {}
     if os.path.exists(ckpt_path):
@@ -405,6 +440,20 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
         checkpoint(done)
         print(json.dumps({"config": tag, "auc_curve": curve}), flush=True)
         del params, st
+    if uniform:
+        gap = abs(finals["fast_approx"] - finals["exact"])
+        ok = gap <= 0.002 and finals["exact"] > 0.7
+        summary = {
+            "verdict": "ok" if ok else "FAIL",
+            "stream": "uniform (dup-light)",
+            "final_auc": finals,
+            "gap_fast_approx_vs_exact": round(gap, 5),
+            "criteria": "per-occurrence momentum on a dup-light stream "
+                        "<=0.002, exact>0.7",
+        }
+        checkpoint(done, summary)
+        print(json.dumps(summary))
+        return 0 if ok else 1
     # Round-5 note: the shipped default is now density-driven exact
     # momentum (optimizer.MOMENTUM_EXACT_DENSITY) — with no measured hint,
     # 'fast' coalesces exactly, i.e. it computes what the round-5 ablation
@@ -441,7 +490,8 @@ def main():
     ]
     if "--scaled" in flags:
         return run_proxy_scaled(
-            steps if argv else 5000, n_eval, ablate="--ablate" in flags
+            steps if argv else 5000, n_eval, ablate="--ablate" in flags,
+            uniform="--uniform" in flags,
         )
     if "--compression" in flags:
         # accuracy-only evidence: run on the CPU backend so it works

@@ -892,10 +892,13 @@ def make_hybrid_train_step(
     mesh: Mesh,
     lr_fn=None,
     global_batch: Optional[int] = None,
+    jit: bool = True,
 ):
     """Returns jitted step(params, opt_state, batch, iteration) ->
     (params, opt_state, loss). ``batch`` must be device-major arranged
-    (parallel.plan.arrange_sparse_inputs) and sharded (shard_batch)."""
+    (parallel.plan.arrange_sparse_inputs) and sharded (shard_batch).
+    jit=False returns the raw shard_mapped body (for the scanned
+    multi-step dispatch wrapper)."""
     n_model = plan.n_model
     nb = plan.n_big_slots
     ns_slots = plan.t_pad - nb
@@ -1365,7 +1368,47 @@ def make_hybrid_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
+    if not jit:
+        return sharded
     return mesh_jit(sharded, donate_argnums=(0, 1))
+
+
+def make_hybrid_multistep_train_step(
+    config: DLRMConfig,
+    plan: ShardingPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_steps: int,
+    lr_fn=None,
+):
+    """``n_steps`` full hybrid-parallel optimizer steps under one
+    ``lax.scan`` — ONE dispatch per n_steps iterations (the mesh analog of
+    train_step.make_multistep_train_step; same bit-identical-sequence
+    contract). ``batches``: every Batch leaf carries a leading [n_steps]
+    axis, sharded like a single step's batch with the leading axis
+    unsharded (HybridRunner.prepare_batch's stacked form)."""
+    import jax.numpy as jnp
+
+    inner = make_hybrid_train_step(
+        config, plan, opt, mesh, lr_fn, jit=False
+    )
+
+    def step(params, opt_state, batches, iteration):
+        def body(carry, xs):
+            p, s = carry
+            leaves, it = xs
+            p, s, loss = inner(p, s, Batch(*leaves), it)
+            return (p, s), loss
+
+        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32
+        )
+        (p, s), losses = jax.lax.scan(
+            body, (params, opt_state), (tuple(batches), its)
+        )
+        return p, s, losses
+
+    return mesh_jit(step, donate_argnums=(0, 1))
 
 
 class HybridRunner:
@@ -1393,6 +1436,7 @@ class HybridRunner:
 
         self.config = config
         self.opt = opt
+        self._lr_fn = lr_fn
         self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         n_model = self.mesh.shape["model"]
@@ -1410,6 +1454,17 @@ class HybridRunner:
                 config, self.plan, opt, self.mesh, lr_fn
             )
         self.eval_step = make_hybrid_eval_step(config, self.plan, self.mesh)
+
+    def make_multi_step(self, n_steps: int):
+        """Scanned multi-step dispatch (Trainer --steps-per-dispatch): one
+        device dispatch per n_steps full optimizer steps."""
+        if self.n_accum > 1:
+            raise ValueError("multi-step dispatch composes with accum at "
+                             "the trainer level, not both at once")
+        return make_hybrid_multistep_train_step(
+            self.config, self.plan, self.opt, self.mesh, n_steps,
+            self._lr_fn,
+        )
 
     def prepare_batch(self, b: Batch) -> Batch:
         if np.asarray(b.labels).ndim == 3:

@@ -196,6 +196,13 @@ class Trainer:
             self.params = runner.params
             self.opt_state = runner.opt_state
             self._prepare = runner.prepare_batch
+            if self.accum == 1 and hasattr(runner, "make_multi_step"):
+                # mesh runners get the same scanned multi-step dispatch
+                # (runner.prepare_batch already handles stacked batches
+                # for the accumulation path — same sharded layout)
+                self.msteps = _auto_steps_per_dispatch(tcfg)
+                if self.msteps > 1:
+                    self.multi_step = runner.make_multi_step(self.msteps)
         self.events = EventLogger() if tcfg.mlperf_logging else None
         self.writer = ScalarWriter(tcfg.tb_logdir) if tcfg.tb_logdir else None
         self.best_acc = 0.0

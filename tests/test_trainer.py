@@ -239,6 +239,37 @@ def test_multistep_dispatch_parity(tmp_path):
         )
 
 
+def test_multistep_dispatch_parity_hybrid_runner():
+    """The scanned multi-step dispatch on the hybrid mesh runner: final
+    params and losses must match the per-step loop exactly (the mesh
+    analog of test_multistep_dispatch_parity)."""
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    cfg = DLRMConfig.tiny()
+    batches = _batches(cfg, 10)  # 2 groups of 4 + 2 tail singles
+
+    def run(m):
+        tcfg = TrainerConfig(print_freq=4, seed=3, steps_per_dispatch=m,
+                             prefetch_depth=2 if m > 1 else 0)
+        runner = HybridRunner(cfg, OptConfig("rwsadagrad", lr=0.1),
+                              data=2, model=2, seed=5)
+        tr = Trainer(cfg, OptConfig("rwsadagrad", lr=0.1), tcfg,
+                     runner=runner)
+        tr.fit(batches)
+        return tr
+
+    a = run(1)
+    b = run(4)
+    assert b.msteps == 4 and b.multi_step is not None
+    assert a.iteration == b.iteration == 10
+    import jax
+
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_auto_steps_per_dispatch_policy():
     from dlrm_yx_tpu.train.trainer import _auto_steps_per_dispatch
 
