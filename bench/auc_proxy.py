@@ -386,9 +386,10 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
                 write_only_update=False,   # per-occurrence momentum kept
             )),
         )
+    cap_tag = "" if ind_cap == 200_000 else f"_cap{ind_cap}"
     ckpt_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results",
-        f"auc_scaled_{steps}{tag_u}.json",
+        f"auc_scaled_{steps}{tag_u}{cap_tag}.json",
     )
     done = {}
     if os.path.exists(ckpt_path):
@@ -489,9 +490,14 @@ def main():
         f.split("=", 1)[1] for f in flags if f.startswith("--shard-mode=")
     ]
     if "--scaled" in flags:
+        ind_cap = [
+            int(f.split("=", 1)[1]) for f in flags
+            if f.startswith("--ind-cap=")
+        ]
         return run_proxy_scaled(
             steps if argv else 5000, n_eval, ablate="--ablate" in flags,
             uniform="--uniform" in flags,
+            **({"ind_cap": ind_cap[0]} if ind_cap else {}),
         )
     if "--compression" in flags:
         # accuracy-only evidence: run on the CPU backend so it works
