@@ -566,6 +566,7 @@ def make_col_sharded_train_step(
     mesh: Mesh,
     lr_fn=None,
     global_batch: Optional[int] = None,
+    jit: bool = True,
 ):
     offs = np.asarray(plan.row_offsets, np.int32)
     big_ids = np.asarray(plan.big_ids, np.int32)
@@ -716,6 +717,8 @@ def make_col_sharded_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
+    if not jit:
+        return sharded
     return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
@@ -996,6 +999,39 @@ def make_col_sharded_eval_step(config: DLRMConfig, plan: ColShardPlan, mesh: Mes
     return mesh_jit(sharded)
 
 
+def make_col_sharded_multistep_train_step(
+    config: DLRMConfig,
+    plan: ColShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_steps: int,
+    lr_fn=None,
+):
+    """``n_steps`` full sharded optimizer steps under one ``lax.scan`` —
+    one dispatch per n_steps iterations (see
+    parallel.hybrid.make_hybrid_multistep_train_step)."""
+    import jax.numpy as jnp
+
+    inner = make_col_sharded_train_step(config, plan, opt, mesh, lr_fn, jit=False)
+
+    def step(params, opt_state, batches, iteration):
+        def body(carry, xs):
+            p, s = carry
+            leaves, it = xs
+            p, s, loss = inner(p, s, Batch(*leaves), it)
+            return (p, s), loss
+
+        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32
+        )
+        (p, s), losses = jax.lax.scan(
+            body, (params, opt_state), (tuple(batches), its)
+        )
+        return p, s, losses
+
+    return mesh_jit(step, donate_argnums=(0, 1))
+
+
 class ColShardedRunner:
     """Trainer runner for the column-sharded path (--shard-mode=col)."""
 
@@ -1005,6 +1041,7 @@ class ColShardedRunner:
 
         self.config = config
         self.opt = opt
+        self._lr_fn = lr_fn
         self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         self.plan = make_col_plan(config, self.mesh.shape["model"])
@@ -1022,6 +1059,16 @@ class ColShardedRunner:
                 config, self.plan, opt, self.mesh, lr_fn
             )
         self.eval_step = make_col_sharded_eval_step(config, self.plan, self.mesh)
+
+    def make_multi_step(self, n_steps: int):
+        """Scanned multi-step dispatch (Trainer --steps-per-dispatch)."""
+        if self.n_accum > 1:
+            raise ValueError("multi-step dispatch composes with accum at "
+                             "the trainer level, not both at once")
+        return make_col_sharded_multistep_train_step(
+            self.config, self.plan, self.opt, self.mesh, n_steps,
+            self._lr_fn,
+        )
 
     def prepare_batch(self, b):
         import jax.numpy as jnp

@@ -591,6 +591,7 @@ def make_row_sharded_train_step(
     mesh: Mesh,
     lr_fn=None,
     global_batch: Optional[int] = None,
+    jit: bool = True,
 ):
     """Returns jitted step(params, opt_state, batch, iteration) ->
     (params, opt_state, loss). batch must be canonical [T, B, L] sparse
@@ -780,6 +781,8 @@ def make_row_sharded_train_step(
         out_specs=(pspecs, sspecs, P()),
         check_vma=False,
     )
+    if not jit:
+        return sharded
     return mesh_jit(sharded, donate_argnums=(0, 1))
 
 
@@ -1075,6 +1078,39 @@ def make_row_sharded_eval_step(config: DLRMConfig, plan: RowShardPlan, mesh: Mes
     return mesh_jit(sharded)
 
 
+def make_row_sharded_multistep_train_step(
+    config: DLRMConfig,
+    plan: RowShardPlan,
+    opt: OptConfig,
+    mesh: Mesh,
+    n_steps: int,
+    lr_fn=None,
+):
+    """``n_steps`` full sharded optimizer steps under one ``lax.scan`` —
+    one dispatch per n_steps iterations (see
+    parallel.hybrid.make_hybrid_multistep_train_step)."""
+    import jax.numpy as jnp
+
+    inner = make_row_sharded_train_step(config, plan, opt, mesh, lr_fn, jit=False)
+
+    def step(params, opt_state, batches, iteration):
+        def body(carry, xs):
+            p, s = carry
+            leaves, it = xs
+            p, s, loss = inner(p, s, Batch(*leaves), it)
+            return (p, s), loss
+
+        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32
+        )
+        (p, s), losses = jax.lax.scan(
+            body, (params, opt_state), (tuple(batches), its)
+        )
+        return p, s, losses
+
+    return mesh_jit(step, donate_argnums=(0, 1))
+
+
 class RowShardedRunner:
     """Trainer runner for the row-sharded path (--shard-mode=row)."""
 
@@ -1084,6 +1120,7 @@ class RowShardedRunner:
 
         self.config = config
         self.opt = opt
+        self._lr_fn = lr_fn
         self.n_accum = max(1, n_accum)
         self.mesh = make_mesh(data, model)
         self.plan = make_row_plan(config, self.mesh.shape["model"])
@@ -1101,6 +1138,16 @@ class RowShardedRunner:
                 config, self.plan, opt, self.mesh, lr_fn
             )
         self.eval_step = make_row_sharded_eval_step(config, self.plan, self.mesh)
+
+    def make_multi_step(self, n_steps: int):
+        """Scanned multi-step dispatch (Trainer --steps-per-dispatch)."""
+        if self.n_accum > 1:
+            raise ValueError("multi-step dispatch composes with accum at "
+                             "the trainer level, not both at once")
+        return make_row_sharded_multistep_train_step(
+            self.config, self.plan, self.opt, self.mesh, n_steps,
+            self._lr_fn,
+        )
 
     def prepare_batch(self, b):
         import jax.numpy as jnp

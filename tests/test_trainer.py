@@ -239,20 +239,25 @@ def test_multistep_dispatch_parity(tmp_path):
         )
 
 
-def test_multistep_dispatch_parity_hybrid_runner():
-    """The scanned multi-step dispatch on the hybrid mesh runner: final
-    params and losses must match the per-step loop exactly (the mesh
-    analog of test_multistep_dispatch_parity)."""
+@pytest.mark.parametrize("mode", ["table", "row", "col"])
+def test_multistep_dispatch_parity_mesh_runners(mode):
+    """The scanned multi-step dispatch on the mesh runners: final params
+    and losses must match the per-step loop exactly (the mesh analog of
+    test_multistep_dispatch_parity)."""
+    from dlrm_yx_tpu.parallel.col_sharded import ColShardedRunner
     from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+    from dlrm_yx_tpu.parallel.row_sharded import RowShardedRunner
 
+    cls = {"table": HybridRunner, "row": RowShardedRunner,
+           "col": ColShardedRunner}[mode]
     cfg = DLRMConfig.tiny()
     batches = _batches(cfg, 10)  # 2 groups of 4 + 2 tail singles
 
     def run(m):
         tcfg = TrainerConfig(print_freq=4, seed=3, steps_per_dispatch=m,
                              prefetch_depth=2 if m > 1 else 0)
-        runner = HybridRunner(cfg, OptConfig("rwsadagrad", lr=0.1),
-                              data=2, model=2, seed=5)
+        runner = cls(cfg, OptConfig("rwsadagrad", lr=0.1),
+                     data=2, model=2, seed=5)
         tr = Trainer(cfg, OptConfig("rwsadagrad", lr=0.1), tcfg,
                      runner=runner)
         tr.fit(batches)
