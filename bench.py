@@ -64,10 +64,21 @@ def main():
     # write-only update ablation
     import sys
 
+    def _flag_value(name, allowed=None):
+        i = sys.argv.index(name)
+        if i + 1 >= len(sys.argv):
+            raise SystemExit(f"{name} needs a value")
+        v = sys.argv[i + 1]
+        if allowed and v not in allowed:
+            raise SystemExit(f"{name}: {v!r} not in {sorted(allowed)}")
+        return v
+
     if "--interaction-impl" in sys.argv:
         cfg = dataclasses.replace(
             cfg,
-            interaction_impl=sys.argv[sys.argv.index("--interaction-impl") + 1],
+            interaction_impl=_flag_value(
+                "--interaction-impl", {"xla", "pallas"}
+            ),
         )
     if "--no-write-only-update" in sys.argv:
         cfg = dataclasses.replace(cfg, write_only_update=False)
@@ -76,24 +87,18 @@ def main():
     if "--emb-split-threshold" in sys.argv:
         cfg = dataclasses.replace(
             cfg,
-            emb_split_threshold=int(
-                sys.argv[sys.argv.index("--emb-split-threshold") + 1]
-            ),
+            emb_split_threshold=int(_flag_value("--emb-split-threshold")),
         )
     # measured duplicate density of the synthetic stream (the CLI measures
     # the same statistic from the first real batch): uniform draws from
     # the 1M-cap tables are ~99.7% unique, which keeps the cheaper
     # per-occurrence momentum via the density routing; a dup-heavy stream
-    # would flip the same config to coalesce-exact (optimizer.py
-    # MOMENTUM_EXACT_DENSITY)
-    _r = np.random.RandomState(0)
-    _big = [i for i, n in enumerate(cfg.emb_rows)
-            if n > cfg.emb_split_threshold]
-    _idx = [_r.randint(0, cfg.emb_rows[i], BATCH * L) for i in _big]
-    hint = sum(len(np.unique(x)) for x in _idx) / max(
-        len(_big) * BATCH * L, 1
-    )
-    cfg = dataclasses.replace(cfg, dup_density_hint=float(hint))
+    # would flip the same config to coalesce-exact
+    from dlrm_yx_tpu.optim.optimizer import uniform_stream_density
+
+    cfg = dataclasses.replace(cfg, dup_density_hint=uniform_stream_density(
+        cfg.emb_rows, cfg.emb_split_threshold, BATCH * L
+    ))
 
     params = init_dlrm_on_device(cfg, seed=123)
     groups = model_groups(cfg)  # must match the stores init_dlrm built

@@ -34,14 +34,13 @@ cfg = dataclasses.replace(
     cfg, compute_dtype="bfloat16", sparse_update_impl="pallas"
 )
 # measured duplicate density of the uniform synthetic stream (the CLI
-# measures the same statistic from the first real batch; ~99.7% unique
-# keeps per-occurrence momentum via optimizer.MOMENTUM_EXACT_DENSITY)
-_r = np.random.RandomState(0)
-_big = [i for i, n in enumerate(cfg.emb_rows) if n > cfg.emb_split_threshold]
-_hint = sum(
-    len(np.unique(_r.randint(0, cfg.emb_rows[i], 2048))) for i in _big
-) / max(len(_big) * 2048, 1)
-cfg = dataclasses.replace(cfg, dup_density_hint=float(_hint))
+# measures the same statistic from the first real batch; per-occurrence
+# momentum stays on via optimizer.MOMENTUM_EXACT_DENSITY)
+from dlrm_yx_tpu.optim.optimizer import uniform_stream_density
+
+cfg = dataclasses.replace(cfg, dup_density_hint=uniform_stream_density(
+    cfg.emb_rows, cfg.emb_split_threshold, BATCH * L
+))
 mesh = make_mesh(1, 1)
 plan = make_row_plan(cfg, 1)
 print("plan: rows_local", plan.rows_local, "pack", plan.pack, flush=True)

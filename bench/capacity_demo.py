@@ -38,15 +38,13 @@ def main():
         emb_dtype="bfloat16",
     )
     # measured duplicate density (uniform draws over huge tables are
-    # ~unique): keeps per-occurrence momentum via the round-5 density
-    # routing, matching how the CLI-measured hint behaves on real streams
-    _r = np.random.RandomState(0)
-    _big = [i for i, n in enumerate(cfg.emb_rows)
-            if n > cfg.emb_split_threshold]
-    _hint = sum(
-        len(np.unique(_r.randint(0, cfg.emb_rows[i], 2048))) for i in _big
-    ) / max(len(_big) * 2048, 1)
-    cfg = dataclasses.replace(cfg, dup_density_hint=float(_hint))
+    # ~unique): keeps per-occurrence momentum via the density routing,
+    # matching how the CLI-measured hint behaves on real streams
+    from dlrm_yx_tpu.optim.optimizer import uniform_stream_density
+
+    cfg = dataclasses.replace(cfg, dup_density_hint=uniform_stream_density(
+        cfg.emb_rows, cfg.emb_split_threshold, BATCH * L
+    ))
     params = init_dlrm_on_device(cfg, seed=123)
     opt = OptConfig("rwsadagrad", 0.01)
     st = init_opt_state(opt, params, model_groups(cfg))

@@ -37,13 +37,11 @@ def main():
         emb_dtype="bfloat16",
     )
     # measured duplicate density — see capacity_demo note (round 5)
-    _r = np.random.RandomState(0)
-    _big = [i for i, n in enumerate(cfg.emb_rows)
-            if n > cfg.emb_split_threshold]
-    _hint = sum(
-        len(np.unique(_r.randint(0, cfg.emb_rows[i], 2048))) for i in _big
-    ) / max(len(_big) * 2048, 1)
-    cfg = dataclasses.replace(cfg, dup_density_hint=float(_hint))
+    from dlrm_yx_tpu.optim.optimizer import uniform_stream_density
+
+    cfg = dataclasses.replace(cfg, dup_density_hint=uniform_stream_density(
+        cfg.emb_rows, cfg.emb_split_threshold, BATCH * L
+    ))
     params = init_dlrm_on_device(cfg, seed=123)
     opt = OptConfig("rwsadagrad", 0.01)
     st = init_opt_state(opt, params, model_groups(cfg))

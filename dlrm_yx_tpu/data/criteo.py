@@ -197,9 +197,13 @@ def preprocess_criteo(
             todo.append((i, (df, day_npz, max_ind_range, sub_sample_rate,
                              seed + i, compress)))
     if todo and nprocs > 1:
-        from multiprocessing import Pool
+        # spawn, not fork: the caller has usually initialized a JAX
+        # backend already (rank0_print does), and forking a process with
+        # live XLA runtime threads can deadlock; the workers only need
+        # numpy + the ctypes parser
+        from multiprocessing import get_context
 
-        with Pool(min(nprocs, len(todo))) as pool:
+        with get_context("spawn").Pool(min(nprocs, len(todo))) as pool:
             for (i, _), n in zip(
                 todo, pool.map(_parse_one_day, [a for _, a in todo])
             ):

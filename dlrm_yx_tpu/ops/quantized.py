@@ -274,8 +274,9 @@ def make_fully_quantized_eval_step(
     from dlrm_yx_tpu.ops.losses import predictions_from_logits
     from dlrm_yx_tpu.ops.mlp import apply_mlp
 
-    fused = [fuse_qstore(qs) for qs in qstores]  # once, outside the step
-    meta = [(qs.bits, qs.dim) for qs in qstores]
+    layouts = [_serving_layout(qs) for qs in qstores]  # once, outside
+    meta = [m for m, _ in layouts]
+    fused = [a for _, a in layouts]
 
     def inner(params, dense, gidx, wg, fused_arg):
         pooled = _pooled_from_fused(meta, fused_arg, gidx, wg)
@@ -330,18 +331,36 @@ def _prepare_group_inputs(groups, indices, weights):
     return gidx, wg
 
 
-def _pooled_from_fused(meta, fused, gidx, wg):
-    """meta: [(bits, dim)] per group — static; fused tables arrive as
-    jit ARGUMENTS. Closing over the multi-GB stores embeds them as HLO
-    constants, which blew XLA:TPU compile time from ~9 s to minutes
-    (bisected on v5e — see MEASUREMENTS.md round 5)."""
+def _serving_layout(qs: QuantizedStore):
+    """(meta, arrays) for one group: the 128-lane fused layout when the
+    quantized byte-width divides 128 (the fast path), else the raw
+    (data, scale, bias) arrays served through dequantize_rows — dims like
+    96/192 keep working as before, just without the relayout win."""
+    cols = qs.data.shape[1]
+    if LANES % cols == 0:
+        return (qs.bits, qs.dim, True), fuse_qstore(qs)
+    return (qs.bits, qs.dim, False), (qs.data, qs.scale, qs.bias)
+
+
+def _pooled_from_fused(meta, stores, gidx, wg):
+    """meta: [(bits, dim, is_fused)] per group — static; the store arrays
+    arrive as jit ARGUMENTS. Closing over the multi-GB stores embeds them
+    as HLO constants, which blew XLA:TPU compile time from ~9 s to
+    minutes (bisected on v5e — see MEASUREMENTS.md round 5)."""
     pooled = []
-    for (bits, dim), fz, gi, w in zip(meta, fused, gidx, wg):
+    for (bits, dim, is_fused), st, gi, w in zip(meta, stores, gidx, wg):
         t, bl = gi.shape
         _, b, l = w.shape
-        rows = dequantize_fused_rows(fz, gi, bits, dim).reshape(
-            t, b, l, dim
-        )
+        if is_fused:
+            rows = dequantize_fused_rows(st, gi, bits, dim)
+        else:
+            data, scale, bias = st
+            rows = dequantize_rows(
+                QuantizedStore(data=data, scale=scale, bias=bias,
+                               bits=bits, dim=dim),
+                gi,
+            )
+        rows = rows.reshape(t, b, l, dim)
         if l == 1:
             pooled.append(rows[:, :, 0, :] * w[:, :, 0][..., None])
         else:
@@ -360,8 +379,9 @@ def make_quantized_eval_step(config, groups, qstores: List[QuantizedStore], jit=
     from dlrm_yx_tpu.models.dlrm import forward_from_pooled
     from dlrm_yx_tpu.ops.losses import predictions_from_logits
 
-    fused = [fuse_qstore(qs) for qs in qstores]  # once, outside the step
-    meta = [(qs.bits, qs.dim) for qs in qstores]
+    layouts = [_serving_layout(qs) for qs in qstores]  # once, outside
+    meta = [m for m, _ in layouts]
+    fused = [a for _, a in layouts]
 
     def inner(params, dense, gidx, wg, fused_arg):
         pooled = _pooled_from_fused(meta, fused_arg, gidx, wg)

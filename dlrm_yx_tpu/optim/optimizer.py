@@ -211,6 +211,28 @@ DENSE_ACCUM_FACTOR = 8
 MOMENTUM_EXACT_DENSITY = 0.95
 
 
+def uniform_stream_density(
+    emb_rows, emb_split_threshold: int, n_draws: int, seed: int = 0
+) -> float:
+    """Unique-rows-per-occurrence of a uniform synthetic stream over the
+    kernel-eligible (big) tables — the statistic cli._measure_dup_density
+    computes from a real first batch. Benches with synthetic uniform
+    streams use THIS (with n_draws = their true batch*L) so their
+    momentum routing matches what a production run measuring the same
+    stream would pick."""
+    import numpy as _np
+
+    r = _np.random.RandomState(seed)
+    big = [
+        n for n in emb_rows
+        if not emb_split_threshold or n > emb_split_threshold
+    ]
+    if not big:
+        return 1.0
+    uniq = sum(len(_np.unique(r.randint(0, n, n_draws))) for n in big)
+    return max(1e-3, min(1.0, uniq / (len(big) * n_draws)))
+
+
 def _store_bytes(store: jax.Array) -> int:
     return store.shape[0] * store.shape[1] * jnp.dtype(store.dtype).itemsize
 

@@ -1014,22 +1014,11 @@ def make_col_sharded_multistep_train_step(
 
     inner = make_col_sharded_train_step(config, plan, opt, mesh, lr_fn, jit=False)
 
-    def step(params, opt_state, batches, iteration):
-        def body(carry, xs):
-            p, s = carry
-            leaves, it = xs
-            p, s, loss = inner(p, s, Batch(*leaves), it)
-            return (p, s), loss
+    from dlrm_yx_tpu.train.train_step import scan_multistep
 
-        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
-            n_steps, dtype=jnp.int32
-        )
-        (p, s), losses = jax.lax.scan(
-            body, (params, opt_state), (tuple(batches), its)
-        )
-        return p, s, losses
-
-    return mesh_jit(step, donate_argnums=(0, 1))
+    return scan_multistep(
+        inner, n_steps, lambda f: mesh_jit(f, donate_argnums=(0, 1))
+    )
 
 
 class ColShardedRunner:

@@ -294,6 +294,31 @@ def make_train_step(
     return step
 
 
+def scan_multistep(inner, n_steps: int, jit_fn=None):
+    """Wrap a raw step fn (params, opt_state, batch, iteration) ->
+    (params, opt_state, loss) into a scanned ``n_steps``-iteration step —
+    the ONE shared implementation behind the single-device and all three
+    mesh-runner multi-step dispatch makers. ``batches`` leaves carry a
+    leading [n_steps] axis; returns losses[n_steps]."""
+
+    def step(params, opt_state, batches, iteration):
+        def body(carry, xs):
+            p, s = carry
+            leaves, it = xs
+            p, s, loss = inner(p, s, Batch(*leaves), it)
+            return (p, s), loss
+
+        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
+            n_steps, dtype=jnp.int32
+        )
+        (p, s), losses = jax.lax.scan(
+            body, (params, opt_state), (tuple(batches), its)
+        )
+        return p, s, losses
+
+    return jit_fn(step) if jit_fn is not None else step
+
+
 def make_multistep_train_step(
     config: DLRMConfig,
     opt: OptConfig,
@@ -319,25 +344,10 @@ def make_multistep_train_step(
     micro-iteration. Returns (params, opt_state, losses[n_steps]).
     """
     inner = make_train_step(config, opt, lr_fn, jit=False)
-
-    def step(params, opt_state, batches, iteration):
-        def body(carry, xs):
-            p, s = carry
-            leaves, it = xs
-            p, s, loss = inner(p, s, Batch(*leaves), it)
-            return (p, s), loss
-
-        its = jnp.asarray(iteration, jnp.int32) + jnp.arange(
-            n_steps, dtype=jnp.int32
-        )
-        (p, s), losses = jax.lax.scan(
-            body, (params, opt_state), (tuple(batches), its)
-        )
-        return p, s, losses
-
-    if jit:
-        return jax.jit(step, donate_argnums=(0, 1))
-    return step
+    return scan_multistep(
+        inner, n_steps,
+        (lambda f: jax.jit(f, donate_argnums=(0, 1))) if jit else None,
+    )
 
 
 def make_eval_step(config: DLRMConfig, jit: bool = True):

@@ -73,9 +73,22 @@ class TrainerConfig:
 
 def _auto_steps_per_dispatch(tcfg: "TrainerConfig") -> int:
     """Largest M in {16,8,4,2} that keeps print/eval boundaries exact
-    (M divides print_freq and test_freq when they are set), else 1."""
+    (M divides print_freq and test_freq when they are set), else 1.
+    An EXPLICIT steps_per_dispatch is honored, but crossing multiple
+    print/eval boundaries inside one dispatch collapses them into one
+    (eval/early-stop checks run less often) — warn loudly."""
     if tcfg.steps_per_dispatch > 0:
-        return tcfg.steps_per_dispatch
+        m = tcfg.steps_per_dispatch
+        for name, freq in (("print_freq", tcfg.print_freq),
+                           ("test_freq", tcfg.test_freq)):
+            if freq and freq % m:
+                rank0_print(
+                    f"WARNING: --steps-per-dispatch {m} does not divide "
+                    f"{name} {freq}: boundaries inside one dispatch "
+                    "collapse (eval/print/early-stop fire at most once "
+                    "per dispatch)"
+                )
+        return m
     for m in (16, 8, 4, 2):
         if tcfg.print_freq and tcfg.print_freq % m:
             continue
@@ -112,7 +125,15 @@ def _prefetch_thread(gen, depth: int):
         except BaseException as e:  # surfaced on the main thread
             err.append(e)
         finally:
-            q.put(END)
+            # the consumer may have stopped early (break / early stop /
+            # exception) with the queue full — a blocking put would pin
+            # this thread (and every staged device batch) forever
+            while not stop.is_set():
+                try:
+                    q.put(END, timeout=0.5)
+                    break
+                except _queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

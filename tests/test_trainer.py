@@ -275,6 +275,36 @@ def test_multistep_dispatch_parity_mesh_runners(mode):
         )
 
 
+def test_prefetch_thread_exits_on_early_stop():
+    """An early stop (eval threshold) breaks out of the batch stream with
+    the staging queue full — the producer thread must terminate instead
+    of blocking forever on its final END put (it would pin every staged
+    device batch for the life of the process)."""
+    import threading
+    import time as _t
+
+    cfg = DLRMConfig.tiny()
+    tcfg = TrainerConfig(
+        print_freq=0, seed=3, test_freq=2, prefetch_depth=2,
+        steps_per_dispatch=1, mlperf_acc_threshold=1e-9,  # stop at 1st eval
+    )
+    tr = Trainer(cfg, OptConfig("sgd", lr=0.1), tcfg)
+    before = {t.ident for t in threading.enumerate()}
+    batches = _batches(cfg, 40)
+    tr.fit(batches, test_batches=lambda: iter(batches[:2]))
+    assert tr.iteration < 40  # early stop fired mid-stream
+    deadline = _t.time() + 10.0
+    while _t.time() < deadline:
+        leftover = [
+            t for t in threading.enumerate()
+            if t.ident not in before and t.daemon and t.is_alive()
+        ]
+        if not leftover:
+            break
+        _t.sleep(0.2)
+    assert not leftover, f"prefetch worker still alive: {leftover}"
+
+
 def test_auto_steps_per_dispatch_policy():
     from dlrm_yx_tpu.train.trainer import _auto_steps_per_dispatch
 

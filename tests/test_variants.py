@@ -172,6 +172,46 @@ def test_quantize_dequantize_error(bits):
     assert (np.abs(deq - store).max(axis=1) <= tol + 1e-6).all()
 
 
+def test_quantized_eval_non_dividing_dim_falls_back():
+    """Dims whose quantized byte-width does not divide 128 (e.g. 96)
+    cannot take the fused 128-lane layout — the serving step must fall
+    back to the raw dequantize path instead of raising."""
+    import dataclasses as _dc
+
+    from dlrm_yx_tpu.ops.quantized import (
+        make_quantized_eval_step,
+        quantize_model_embeddings,
+    )
+    from dlrm_yx_tpu.data.batch import Batch as _B
+
+    cfg = DLRMConfig(
+        emb_rows=(40, 30, 20),
+        ln_bot=(4, 8, 96),
+        ln_top=(3 * 4 // 2 + 96, 8, 1),  # dot interaction, 3 tables
+    )
+    del _dc  # (dims default to base_dim=96 for every table)
+    params = init_dlrm(cfg, seed=7)
+    groups = model_groups(cfg)
+    qs = quantize_model_embeddings(
+        {"emb": [np.asarray(e) for e in params["emb"]]}, groups, 8
+    )
+    step = make_quantized_eval_step(cfg, groups, qs)
+    r = np.random.RandomState(0)
+    t = cfg.num_tables
+    b = _B(
+        jnp.asarray(r.rand(4, 4).astype(np.float32)),
+        jnp.asarray(np.stack(
+            [r.randint(0, n, (4, 1)) for n in cfg.emb_rows]
+        ).astype(np.int32)),
+        jnp.ones((t, 4, 1), jnp.float32),
+        jnp.asarray((r.rand(4, 1) > 0.5).astype(np.float32)),
+    )
+    dp = {k: params[k] for k in ("bot", "top")}
+    dp["vw"] = None
+    preds = np.asarray(step(dp, b))
+    assert np.isfinite(preds).all() and preds.shape == (4, 1)
+
+
 @pytest.mark.parametrize("bits", [8, 4])
 def test_fused_rows_match_unfused(bits):
     """The one-gather fused row layout (quantized bytes + f32 scale/bias
