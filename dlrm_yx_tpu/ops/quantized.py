@@ -101,6 +101,12 @@ def dequantize_fused_rows(fused, row_ids: jax.Array, bits: int, dim: int) -> jax
     packp = LANES // cols
     q_phys = jnp.take(data_phys, row_ids // packp, axis=0)  # [..., 128]
     if packp > 1:
+        # NOTE (round 5, measured and rejected): selecting the logical
+        # sub-row AFTER unpacking the whole physical row (so every
+        # intermediate stays >=128-lane) measured 1780 us vs this path's
+        # 1338 at the int4 serving config — the [K, 256] f32
+        # materialization costs more than the narrow byte-block selects
+        # it removes. The byte-granular select stays.
         sub = (row_ids % packp)[..., None].astype(jnp.int32)
         data = jnp.zeros((*row_ids.shape, cols), jnp.uint8)
         for i in range(packp):  # static unroll; packp is 1/2/4/8
