@@ -249,7 +249,7 @@ def run_proxy_compression(steps=800, n_eval=16):
 
 
 def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
-                     ablate=False, uniform=False):
+                     ablate=False, uniform=False, out_dir=None):
     """VERDICT round-3 item 9: guard the approximation semantics at scale.
 
     The FLAGSHIP 26-table Terabyte-MLPerf arch (row counts capped at
@@ -299,9 +299,10 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
     # for the full run) and is deterministic — cache the stacked arrays so
     # ablation re-runs skip straight to the device phase
     tag_u = "_uniform" if uniform else ""
-    cache = (
-        f"/tmp/auc_scaled_cache_{n_train}_{n_eval}_{batch}_{ind_cap}"
-        f"{tag_u}.npz"
+    cache = os.path.join(
+        out_dir or "/tmp",
+        f"auc_scaled_cache_{n_train}_{n_eval}_{batch}_{ind_cap}"
+        f"{tag_u}.npz",
     )
     if os.path.exists(cache):
         with np.load(cache) as d:
@@ -388,7 +389,9 @@ def run_proxy_scaled(steps=5000, n_eval=12, ind_cap=200_000, batch=2048,
         )
     cap_tag = "" if ind_cap == 200_000 else f"_cap{ind_cap}"
     ckpt_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results",
+        out_dir or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "results"
+        ),
         f"auc_scaled_{steps}{tag_u}{cap_tag}.json",
     )
     done = {}

@@ -23,6 +23,40 @@ def test_auc_improves_and_fast_path_matches():
     assert gap < 0.02, (gap, results)
 
 
+def test_scaled_proxy_checkpoints_and_resumes(tmp_path):
+    """The scaled guard's per-config checkpointing (the round-4 failure
+    mode was a cut device window losing the whole run): a second
+    invocation must resume every completed config instead of re-running,
+    and the summary must be re-derivable from the checkpoint alone."""
+    import importlib.util
+    import json
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "auc_proxy_t", os.path.join(root, "bench", "auc_proxy.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["auc_proxy_t"] = mod
+    spec.loader.exec_module(mod)
+
+    kw = dict(steps=6, n_eval=2, ind_cap=500, batch=32, uniform=True,
+              out_dir=str(tmp_path))
+    mod.run_proxy_scaled(**kw)
+    ck = tmp_path / "auc_scaled_6_uniform_cap500.json"
+    assert ck.exists()
+    with open(ck) as f:
+        d = json.load(f)
+    assert set(d["curves"]) == {"exact", "fast_approx"}
+    assert "summary" in d
+    # resume: curves must be byte-identical (loaded, not re-trained)
+    mtime = ck.stat().st_mtime
+    mod.run_proxy_scaled(**kw)
+    with open(ck) as f:
+        d2 = json.load(f)
+    assert d2["curves"] == d["curves"]
+
+
 def test_mesh_paths_converge_to_single_device_auc():
     """The held-out-AUC proxy through the sharded runners (8-virtual-device
     mesh) must match the single-device curve — convergence evidence for the
