@@ -108,6 +108,13 @@ def main():
     n_steps = trainer.iteration
     out["wall_ms_per_it"] = round(wall / max(n_steps, 1) * 1e3, 3)
     out["wall_examples_per_sec"] = round(n_steps * BATCH / wall)
+    # the steady-state number: wall/n over a 400-it run is dominated by
+    # the one-off compile; the trainer's warmup-excluded epoch mean is
+    # the ms/it the pipeline actually sustains
+    ms = getattr(trainer, "last_epoch_ms_per_it", None)
+    if ms is not None:
+        out["steady_ms_per_it"] = round(ms, 3)
+        out["steady_examples_per_sec"] = round(BATCH / ms * 1e3)
     print(json.dumps({"phase": "full_loop", **out}), flush=True)
     return out
 

@@ -458,6 +458,11 @@ class Trainer:
                         break
             drain()
             if epoch_timer.times:
+                # exposed for harnesses (e.g. bench/fullloop_bench.py):
+                # the steady-state ms/it, compile/warmup excluded — wall /
+                # n_steps over a short run is dominated by the one-off
+                # compile and misleads
+                self.last_epoch_ms_per_it = epoch_timer.mean_ms()
                 rank0_print(
                     f"Epoch {epoch} average: {epoch_timer.mean_ms():.2f} "
                     "ms/it (warmup excluded)"
