@@ -275,6 +275,30 @@ def test_multistep_dispatch_parity_mesh_runners(mode):
         )
 
 
+def test_uniform_stream_density_helper():
+    from dlrm_yx_tpu.optim.optimizer import uniform_stream_density
+
+    # huge tables, few draws -> ~all unique
+    assert uniform_stream_density((10**6, 10**6), 65536, 2048) > 0.99
+    # tiny table, many draws -> heavy duplication
+    assert uniform_stream_density((100,), 0, 2048) < 0.1
+    # no kernel-eligible tables -> 1.0 (routing stays on the exact path
+    # for the small group anyway)
+    assert uniform_stream_density((100, 200), 65536, 2048) == 1.0
+
+
+def test_runner_multi_step_rejects_accum():
+    """make_multi_step composes with accumulation only at the trainer
+    level — a runner built with n_accum > 1 must refuse."""
+    from dlrm_yx_tpu.parallel.hybrid import HybridRunner
+
+    cfg = DLRMConfig.tiny()
+    runner = HybridRunner(cfg, OptConfig("sgd", lr=0.1), data=2, model=2,
+                          seed=5, n_accum=2)
+    with pytest.raises(ValueError, match="accum"):
+        runner.make_multi_step(4)
+
+
 def test_prefetch_thread_exits_on_early_stop():
     """An early stop (eval threshold) breaks out of the batch stream with
     the staging queue full — the producer thread must terminate instead
